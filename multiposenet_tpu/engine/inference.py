@@ -1,0 +1,207 @@
+"""Fused inference graphs: the reference's multi-stage host/device ping-pong
+as single jitted XLA computations.
+
+The reference full pipeline (evaluate/tester.py:195-254, network/posenet.py:236-285)
+crosses the host boundary five times per image: anchor generation (numpy),
+NMS bitmask reduce (CUDA->CPU), heatmap peak finding (scipy), PRN input
+assembly (numpy, one H2D per person), PRN scoring windows (numpy).  Here:
+
+  detect_and_peaks : image -> heatmaps, NMS'd boxes, refined peaks  (one jit)
+  prn_score        : peaks + boxes -> PRN grids -> PRN -> per-peak scores (one jit)
+
+Only the tiny greedy mutual-best assignment (reference tester.py:431-483)
+remains on host (eval/grouping.py) — it is O(people x peaks) scalar logic on
+a few hundred values.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multiposenet_tpu.config import Config
+from multiposenet_tpu.models.posenet import PoseNet
+from multiposenet_tpu.ops.anchors import anchors_for_shape
+from multiposenet_tpu.ops.boxes import clip_boxes, decode_boxes
+from multiposenet_tpu.ops.gaussian import gaussian_blur
+from multiposenet_tpu.ops.nms import batched_topk_nms, NMSResult
+from multiposenet_tpu.ops.peaks import find_peaks_refined, PeakSet
+
+# ImageNet statistics (reference datasets/coco_data/preprocessing.py:15-26)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def preprocess_on_device(img_rgb_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 RGB (B,H,W,3) -> normalized float (B,H,W,3), on device.
+
+    The reference normalizes in numpy per image (resnet_preprocess); here it
+    fuses into the first conv.
+    """
+    x = img_rgb_u8.astype(jnp.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class PipelineOutput(NamedTuple):
+    heatmaps: jnp.ndarray   # (B, H/4, W/4, 18)
+    detections: NMSResult   # boxes (B,K,4) scores (B,K) ... at input resolution
+    peaks: PeakSet          # (B,J,P,...) coords in input-image pixels
+
+
+def make_full_pipeline(model: PoseNet, cfg: Config, image_hw: Tuple[int, int],
+                       preprocess: bool = True):
+    """Build a jitted image -> (heatmaps, detections, peaks) function.
+
+    Static over the input (H, W); anchors are baked in as constants.
+    """
+    anchors = jnp.asarray(anchors_for_shape(tuple(image_hw), cfg.anchors))
+    h, w = image_hw
+    det = cfg.detection
+    pk = cfg.peaks
+    stride = cfg.data.feat_stride
+
+    @jax.jit
+    def run(params, images) -> PipelineOutput:
+        x = preprocess_on_device(images) if preprocess else images
+        predict_keypoint, cls, reg = model.apply(
+            params, x, method=PoseNet.full_forward)
+
+        boxes = decode_boxes(anchors[None], reg)
+        boxes = clip_boxes(boxes, h, w)
+        scores = jnp.max(cls, axis=2)  # (B, A) person prob
+        dets = batched_topk_nms(boxes, scores, iou_thresh=det.nms_thresh,
+                                max_out=det.max_detections,
+                                score_thresh=det.score_thresh)
+
+        peaks = jax.vmap(
+            lambda hm: find_peaks_refined(
+                hm, thre1=pk.thre1, max_peaks=pk.max_peaks_per_joint,
+                upsamp_factor=stride, win_size=pk.win_size, refine=pk.refine)
+        )(predict_keypoint)
+        return PipelineOutput(predict_keypoint, dets, peaks)
+
+    return run
+
+
+def make_keypoint_pipeline(model: PoseNet, cfg: Config, preprocess: bool = True):
+    """Heatmap-only forward (multi-scale eval path; no NMS/peaks).
+
+    Shape-polymorphic via retracing per padded bucket shape.
+    """
+
+    @jax.jit
+    def run(params, images):
+        x = preprocess_on_device(images) if preprocess else images
+        predict_keypoint, cls, reg = model.apply(
+            params, x, method=PoseNet.full_forward)
+        return predict_keypoint, cls, reg
+
+    return run
+
+
+# ----------------------------------------------------------------------
+# PRN stage: build per-person input grids, run PRN, score peaks — one jit.
+# ----------------------------------------------------------------------
+
+def _grid_coords(peak_xy, box_xywh, grid_h: int, grid_w: int):
+    """Map a peak into a person crop grid with the reference's int-cast and
+    edge-clamping rules (tester.py:374-391, prn_data_pipeline.py:51-70).
+
+    box is (x, y, w, h).  Returns (x0, y0) int32 cell coords.
+    """
+    x_scale = grid_w / jnp.ceil(box_xywh[2])
+    y_scale = grid_h / jnp.ceil(box_xywh[3])
+    # python int() truncates toward zero — replicate exactly
+    fx = (peak_xy[0] - box_xywh[0]) * x_scale
+    fy = (peak_xy[1] - box_xywh[1]) * y_scale
+    x0 = jnp.trunc(fx).astype(jnp.int32)
+    y0 = jnp.trunc(fy).astype(jnp.int32)
+    x0 = jnp.clip(x0, 0, grid_w - 1)
+    y0 = jnp.clip(y0, 0, grid_h - 1)
+    return x0, y0
+
+
+def make_prn_pipeline(model: PoseNet, cfg: Config):
+    """Build a jitted (peaks, boxes) -> PRN outputs + per-peak score tables.
+
+    Inputs (fixed capacity, padded):
+      peak_xy     (J=17, P, 2) float  peak coords in image pixels
+      peak_score  (J, P) float        -1 for invalid slots
+      peak_valid  (J, P) bool
+      boxes_xywh  (B, 4) float        person boxes
+      box_valid   (B,) bool
+
+    Outputs:
+      score_table (B, J, P) float  score of assigning peak p of joint j to
+                                   box b (0 where peak not inside box)
+      inside      (B, J, P) bool
+      prn_out     (B, gh, gw, 17)  raw PRN output grids (for the no-peak
+                                   fallback branch, tester.py:472-483)
+    """
+    gh, gw = cfg.model.prn_height, cfg.model.prn_width
+    in_thres = cfg.prn.in_thres
+    nwin = cfg.prn.score_window
+    half = (nwin - 1) // 2
+
+    @jax.jit
+    def run(params, peak_xy, peak_score, peak_valid, boxes_xywh, box_valid):
+        num_b = boxes_xywh.shape[0]
+        num_j, num_p = peak_score.shape
+
+        bx = boxes_xywh[:, 0][:, None, None]
+        by = boxes_xywh[:, 1][:, None, None]
+        bw = boxes_xywh[:, 2][:, None, None]
+        bh = boxes_xywh[:, 3][:, None, None]
+        px = peak_xy[None, :, :, 0]
+        py = peak_xy[None, :, :, 1]
+
+        inside = (
+            (px > bx - bw * in_thres) & (px < bx + bw * (1.0 + in_thres)) &
+            (py > by - bh * in_thres) & (py < by + bh * (1.0 + in_thres)) &
+            peak_valid[None] & box_valid[:, None, None]
+        )  # (B, J, P)
+
+        x_scale = gw / jnp.ceil(bw)
+        y_scale = gh / jnp.ceil(bh)
+        x0 = jnp.clip(jnp.trunc((px - bx) * x_scale).astype(jnp.int32), 0, gw - 1)
+        y0 = jnp.clip(jnp.trunc((py - by) * y_scale).astype(jnp.int32), 0, gh - 1)
+
+        # scatter peak markers into (B, gh, gw, J) grids
+        b_idx = jnp.broadcast_to(jnp.arange(num_b)[:, None, None], inside.shape)
+        j_idx = jnp.broadcast_to(jnp.arange(num_j)[None, :, None], inside.shape)
+        y_sc = jnp.where(inside, y0, 0)
+        x_sc = jnp.where(inside, x0, 0)
+        marks = jnp.zeros((num_b, gh, gw, num_j), jnp.float32)
+        marks = marks.at[
+            b_idx.ravel(), y_sc.ravel(), x_sc.ravel(), j_idx.ravel()
+        ].max(inside.astype(jnp.float32).ravel())
+
+        # gaussian-blur each person grid (tester.py:396-398, sigma=1 'nearest')
+        grids = gaussian_blur(marks, sigma=1.0, mode="nearest")
+
+        prn_out = model.apply(params, grids, method=PoseNet.prn_forward)
+
+        # score each marked peak: sum over a clipped NxN window of the PRN
+        # output around the peak cell, times the peak score (tester.py:410-429).
+        # Implemented via a 2-D summed-area table: O(1) per peak.
+        sat = jnp.cumsum(jnp.cumsum(prn_out, axis=1), axis=2)
+        sat = jnp.pad(sat, ((0, 0), (1, 0), (1, 0), (0, 0)))  # (B, gh+1, gw+1, J)
+
+        y1 = jnp.clip(y0 - half, 0, gh)
+        y2 = jnp.clip(y0 + half + 1, 0, gh)
+        x1 = jnp.clip(x0 - half, 0, gw)
+        x2 = jnp.clip(x0 + half + 1, 0, gw)
+
+        def window_sum(b, j, yy1, yy2, xx1, xx2):
+            return (sat[b, yy2, xx2, j] - sat[b, yy1, xx2, j]
+                    - sat[b, yy2, xx1, j] + sat[b, yy1, xx1, j])
+
+        ws = window_sum(b_idx, j_idx, y1, y2, x1, x2)  # (B, J, P)
+        table = jnp.where(inside, ws * peak_score[None], 0.0)
+        return table, inside, prn_out, x0, y0
+
+    return run
