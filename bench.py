@@ -1,0 +1,71 @@
+"""End-to-end inference benchmark: images/sec/chip on the flagship model.
+
+Measures the fused full pipeline (preprocess -> ResNet-101 FPN -> keypoint
+heatmaps + RetinaNet heads -> anchor decode -> NMS -> heatmap peaks) on one
+chip at 480x480, the reference demo configuration
+(reference evaluate/multipose_test.py + tester.py:195-254).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md
+section 6).  We use an estimated 10 images/sec for the PyTorch reference
+pipeline on its unspecified GPU (ResNet-101 dual-FPN forward + host NMS +
+scipy peak hunting per image; typical for this model family circa 2018).
+BASELINE.json's target is >= 10x that estimate per chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 10.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multiposenet_tpu.config import Config
+    from multiposenet_tpu.models.posenet import PoseNet
+    from multiposenet_tpu.engine.inference import make_full_pipeline
+
+    cfg = Config()
+    model = PoseNet(cfg.model)
+    size = cfg.data.inp_size
+    batch = 8  # per-chip inference batch
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng,
+        jnp.zeros((1, size, size, 3), jnp.float32),
+        jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17), jnp.float32),
+        method=PoseNet.init_all,
+    )
+    pipeline = make_full_pipeline(model, cfg, (size, size))
+
+    imgs = jnp.asarray(
+        (np.random.RandomState(0).rand(batch, size, size, 3) * 255).astype(np.uint8))
+
+    # warmup + compile
+    out = pipeline(params, imgs)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(params, imgs)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_e2e_inference",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Command-line interface — replaces the reference's nine edit-the-constants
+driver scripts (training/multipose_*_train.py, evaluate/multipose_*.py) with
+one typed CLI over the Config tree.
+
+  python -m multiposenet_tpu.cli train --subnet keypoint --coco-root /data/COCO
+  python -m multiposenet_tpu.cli val --subnet detection --ckpt <dir>
+  python -m multiposenet_tpu.cli test --ckpt <dir> --testdata ./demo/test_images
+  python -m multiposenet_tpu.cli coco-eval --ckpt <dir> --coco-root /data/COCO
+  python -m multiposenet_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--backbone", default="resnet101",
+                   choices=["resnet50", "resnet101"])
+    p.add_argument("--coco-root", default="/data/COCO/")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir (orbax) to load")
+    p.add_argument("--exp-name", default=None)
+    p.add_argument("--inp-size", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--max-epoch", type=int, default=None)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--save-dir", default="./extra/models")
+
+
+def build_config(args, subnet: str):
+    from multiposenet_tpu.config import (
+        Config, detection_train_config, keypoint_train_config,
+        prn_train_config)
+    cfg = {"keypoint": keypoint_train_config,
+           "detection": detection_train_config,
+           "prn": prn_train_config}.get(subnet, Config)()
+    model = dataclasses.replace(cfg.model, backbone=args.backbone)
+    data = dataclasses.replace(
+        cfg.data, coco_root=args.coco_root,
+        json_path=os.path.join(args.coco_root, "COCO.json"),
+        mask_dir=args.coco_root, num_workers=args.num_workers,
+        **({"inp_size": args.inp_size} if args.inp_size else {}))
+    tr = {}
+    if args.exp_name:
+        tr["exp_name"] = args.exp_name
+    if args.batch_size:
+        tr["batch_size"] = args.batch_size
+    if args.lr:
+        tr["init_lr"] = args.lr
+    if args.max_epoch:
+        tr["max_epoch"] = args.max_epoch
+    tr["save_dir"] = args.save_dir
+    tr["ckpt"] = args.ckpt
+    train = dataclasses.replace(cfg.train, subnet=subnet or cfg.train.subnet,
+                                **tr)
+    return dataclasses.replace(cfg, model=model, data=data, train=train)
+
+
+def make_loaders(cfg, subnet: str, training: bool):
+    from multiposenet_tpu.data.coco_json import COCOIndex
+    from multiposenet_tpu.data.datasets import (
+        DetectionDataset, KeypointDataset, PRNDataset,
+        load_coco_json_index, split_keypoint_records)
+    from multiposenet_tpu.data.loader import Loader
+
+    if subnet == "keypoint":
+        records = load_coco_json_index(cfg.data.json_path)
+        idx = split_keypoint_records(records, training)
+        ds = KeypointDataset(records, idx, os.path.join(cfg.data.coco_root, "images"),
+                             cfg.data.mask_dir, cfg.data, augment=training)
+    elif subnet == "detection":
+        split = "train2017" if training else "val2017"
+        ann = os.path.join(cfg.data.coco_root, "annotations",
+                           f"person_keypoints_{split}.json")
+        coco = COCOIndex(ann)
+        records = load_coco_json_index(cfg.data.json_path)
+        img_ids = set(coco.get_img_ids())
+        idx = [i for i, r in enumerate(records)
+               if int(r["image_id"]) in img_ids]
+        ds = DetectionDataset(records, idx, coco,
+                              os.path.join(cfg.data.coco_root, split),
+                              cfg.data, augment=training)
+    else:  # prn
+        split = "train2017" if training else "val2017"
+        ann = os.path.join(cfg.data.coco_root, "annotations",
+                           f"person_keypoints_{split}.json")
+        ds = PRNDataset(COCOIndex(ann), cfg)
+
+    return Loader(ds, cfg.train.batch_size, shuffle=training,
+                  num_workers=cfg.data.num_workers)
+
+
+def cmd_train(args):
+    from multiposenet_tpu.engine.trainer import Trainer
+    cfg = build_config(args, args.subnet)
+    train = make_loaders(cfg, args.subnet, True)
+    val = make_loaders(cfg, args.subnet, False)
+    Trainer(cfg, train_data=train, val_data=val,
+            init_ckpt_params=args.init_params).train()
+
+
+def cmd_val(args):
+    from multiposenet_tpu.engine.trainer import Trainer
+    cfg = build_config(args, args.subnet)
+    val = make_loaders(cfg, args.subnet, False)
+    t = Trainer(cfg, train_data=None, val_data=val)
+    t.validate(args.max_batches)
+
+
+def _load_eval(args, subnet="keypoint"):
+    import jax
+    import jax.numpy as jnp
+    from multiposenet_tpu.engine import checkpoint as ckpt_lib
+    from multiposenet_tpu.engine.evaluator import Evaluator
+    from multiposenet_tpu.models.posenet import PoseNet
+
+    cfg = build_config(args, subnet)
+    model = PoseNet(cfg.model)
+    size = cfg.data.inp_size
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, size, size, 3), jnp.float32),
+        jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17),
+                  jnp.float32),
+        method=PoseNet.init_all)
+    if args.ckpt:
+        params, _ = ckpt_lib.restore_params_partial(args.ckpt,
+                                                    variables["params"])
+        variables = dict(variables, params=params)
+    return cfg, Evaluator(cfg, model, variables)
+
+
+def cmd_test(args):
+    # validate inputs before the (slow) model init
+    if not os.path.isdir(args.testdata):
+        sys.exit(f"error: --testdata directory not found: {args.testdata}")
+    cfg, ev = _load_eval(args)
+    ev.cfg = dataclasses.replace(
+        ev.cfg, eval=dataclasses.replace(ev.cfg.eval, write_image=True,
+                                         write_json=True,
+                                         testdata_dir=args.testdata,
+                                         testresult_dir=args.testresult))
+    results = ev.test()
+    print(f"{len(results)} person instances detected")
+
+
+def cmd_coco_eval(args):
+    ann = os.path.join(args.coco_root, "annotations/person_keypoints_val2017.json")
+    if not os.path.isfile(ann):
+        sys.exit(f"error: annotations not found: {ann}")
+    _, ev = _load_eval(args)
+    ev.coco_eval(max_images=args.max_images,
+                 result_file=args.result_file)
+
+
+def cmd_bench(_args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("multiposenet_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train")
+    _common(pt)
+    pt.add_argument("--subnet", required=True,
+                    choices=["keypoint", "detection", "prn"])
+    pt.add_argument("--init-params", default=None,
+                    help="params-only checkpoint for staged training")
+    pt.set_defaults(fn=cmd_train)
+
+    pv = sub.add_parser("val")
+    _common(pv)
+    pv.add_argument("--subnet", required=True,
+                    choices=["keypoint", "detection", "prn"])
+    pv.add_argument("--max-batches", type=int, default=1000000)
+    pv.set_defaults(fn=cmd_val)
+
+    pd = sub.add_parser("test")
+    _common(pd)
+    pd.add_argument("--testdata", default="./demo/test_images/")
+    pd.add_argument("--testresult", default="./demo/output/")
+    pd.set_defaults(fn=cmd_test)
+
+    pc = sub.add_parser("coco-eval")
+    _common(pc)
+    pc.add_argument("--max-images", type=int, default=None)
+    pc.add_argument("--result-file", default=None)
+    pc.set_defaults(fn=cmd_coco_eval)
+
+    pb = sub.add_parser("bench")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

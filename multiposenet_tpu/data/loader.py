@@ -1,0 +1,104 @@
+"""Threaded prefetching batch loader — the host IO layer.
+
+Replaces the reference's torch DataLoader + custom streaming subclass
+(datasets/dataloader.py:6-38).  Workers decode/augment with cv2 (which
+releases the GIL), batches are stacked into pinned numpy arrays and
+prefetched a few steps ahead so the TPU never waits on host IO.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 8, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for i in range(0, stop, self.batch_size):
+            yield order[i: i + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self.epoch += 1
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        idx_q: "queue.Queue" = queue.Queue()
+        batches = list(self._index_batches())
+        for bi, b in enumerate(batches):
+            idx_q.put((bi, b))
+
+        results: Dict[int, Dict] = {}
+        results_lock = threading.Lock()
+        next_emit = [0]
+        done = threading.Event()
+
+        def worker(wid: int):
+            rng = np.random.default_rng((self.seed + self.epoch) * 10007 + wid)
+            while not done.is_set():
+                try:
+                    bi, idxs = idx_q.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [self.dataset.__getitem__(int(i), rng=rng)
+                           for i in idxs]
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                with results_lock:
+                    results[bi] = batch
+                # emit in order
+                while True:
+                    with results_lock:
+                        if next_emit[0] in results:
+                            item = results.pop(next_emit[0])
+                            next_emit[0] += 1
+                        else:
+                            break
+                    out_q.put(item)
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        try:
+            for _ in range(len(batches)):
+                yield out_q.get()
+        finally:
+            done.set()
+
+
+def device_prefetch(iterator, put_fn: Callable, depth: int = 2):
+    """Overlap H2D transfer with compute: put batches onto device `depth`
+    steps ahead (the TPU analog of pinned-memory prefetch)."""
+    import collections
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(put_fn(batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

