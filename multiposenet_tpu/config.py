@@ -74,6 +74,9 @@ class DetectionConfig:
     neg_iou: float = 0.4
     smooth_l1_beta: float = 1.0 / 9.0
     bbox_std: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    # use the Pallas VMEM-resident suppression kernel on TPU (ops/pallas_nms.py,
+    # ~1.5x the XLA masked-loop path); automatic XLA fallback off-TPU
+    use_pallas_nms: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -68,6 +68,16 @@ def decode_rle(rle: Dict) -> np.ndarray:
     """RLE dict {'size': [h, w], 'counts': str|bytes|list} -> (h, w) uint8."""
     h, w = rle["size"]
     counts = rle["counts"]
+    try:  # native fast path (multiposenet_tpu/native); numpy fallback below
+        from multiposenet_tpu import native
+        if native.available():
+            if isinstance(counts, (str, bytes)):
+                s = counts.encode("ascii") if isinstance(counts, str) else counts
+                counts = native.rle_counts_from_string_native(s)
+            counts = np.asarray(counts, dtype=np.int64)
+            return native.rle_decode_native(counts, int(h), int(w))
+    except ImportError:
+        pass
     if isinstance(counts, (str, bytes)):
         counts = _decode_counts(counts)
     counts = np.asarray(counts, dtype=np.int64)

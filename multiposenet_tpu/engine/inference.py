@@ -73,9 +73,15 @@ def make_full_pipeline(model: PoseNet, cfg: Config, image_hw: Tuple[int, int],
         boxes = decode_boxes(anchors[None], reg)
         boxes = clip_boxes(boxes, h, w)
         scores = jnp.max(cls, axis=2)  # (B, A) person prob
-        dets = batched_topk_nms(boxes, scores, iou_thresh=det.nms_thresh,
-                                max_out=det.max_detections,
-                                score_thresh=det.score_thresh)
+        if det.use_pallas_nms and jax.default_backend() == "tpu":
+            from multiposenet_tpu.ops.pallas_nms import nms_fixed_pallas
+            dets = jax.vmap(lambda b, s: nms_fixed_pallas(
+                b, s, det.nms_thresh, det.max_detections, det.score_thresh,
+                interpret=False))(boxes, scores)
+        else:
+            dets = batched_topk_nms(boxes, scores, iou_thresh=det.nms_thresh,
+                                    max_out=det.max_detections,
+                                    score_thresh=det.score_thresh)
 
         peaks = jax.vmap(
             lambda hm: find_peaks_refined(

@@ -37,6 +37,7 @@ from multiposenet_tpu.models.posenet import PoseNet
 from multiposenet_tpu.parallel import make_mesh, replicated, shard_batch
 from multiposenet_tpu.utils.logging import logger
 from multiposenet_tpu.utils.meters import AverageValueMeter
+from multiposenet_tpu.utils.metrics import MetricsWriter
 from multiposenet_tpu.utils.timer import Timer
 
 
@@ -132,6 +133,7 @@ class Trainer:
         self.scheduler = ReduceLROnPlateau(
             cfg.train.init_lr, cfg.train.lr_decay, cfg.train.plateau_patience)
         self._rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        self.metrics = MetricsWriter(self.save_dir)
 
     # ------------------------------------------------------------------
 
@@ -192,6 +194,9 @@ class Trainer:
 
             if step % cfg.print_freq == 0:
                 self._print_log(step, n_batches, meters)
+                self.metrics.write(self.global_step,
+                                   {k: float(v) for k, v in logs.items()},
+                                   prefix="train/")
 
             if self.global_step % cfg.save_freq_step == 0:
                 ckpt_lib.save_checkpoint(self.save_dir, self.state,

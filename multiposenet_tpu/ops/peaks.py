@@ -115,17 +115,27 @@ def find_peaks_refined(
     wy = jnp.clip(py - win_size, 0, h - s)   # window starts
     wx = jnp.clip(px - win_size, 0, w - s)
 
-    def refine_one(joint_map, y0, x0):
-        patch = jax.lax.dynamic_slice(joint_map, (y0, x0), (s, s))
-        # full f32 precision: these are 5x5 matrices, parity matters
-        up = jnp.matmul(jnp.matmul(m, patch, precision=jax.lax.Precision.HIGHEST),
-                        m.T, precision=jax.lax.Precision.HIGHEST)  # (s*f, s*f)
-        amax = jnp.argmax(up)
-        ay, ax = amax // (s * f), amax % (s * f)
-        return x0 * f + ax, y0 * f + ay, up.reshape(-1)[amax]
+    # gather ALL (J, P) 5x5 patches in one flat take_along_axis, then
+    # upsample them with one batched einsum pair — thousands of per-peak
+    # dynamic_slice + tiny-matmul ops fuse into two MXU-friendly contractions
+    iy = wy[..., None] + jnp.arange(s)                      # (J, P, s)
+    ix = wx[..., None] + jnp.arange(s)
+    flat_idx = (iy[:, :, :, None] * w + ix[:, :, None, :]).reshape(num_j, -1)
+    patches = jnp.take_along_axis(hm.reshape(num_j, h * w), flat_idx,
+                                  axis=1).reshape(num_j, max_peaks, s, s)
 
-    refine_all = jax.vmap(jax.vmap(refine_one, in_axes=(None, 0, 0)), in_axes=(0, 0, 0))
-    rx, ry, rs = refine_all(hm, wy, wx)
+    hi = jax.lax.Precision.HIGHEST  # parity: tiny matrices, f32 exactness
+    up = jnp.einsum("ab,jpbc->jpac", m, patches, precision=hi)
+    up = jnp.einsum("jpac,dc->jpad", up, m, precision=hi)    # (J, P, sf, sf)
+
+    sf = s * f
+    flat = up.reshape(num_j, max_peaks, sf * sf)
+    amax = jnp.argmax(flat, axis=-1)
+    ay = (amax // sf).astype(jnp.int32)
+    ax = (amax % sf).astype(jnp.int32)
+    rx = wx * f + ax
+    ry = wy * f + ay
+    rs = jnp.max(flat, axis=-1)
 
     coords = jnp.stack([rx, ry], axis=-1).astype(jnp.int32)
     scores = jnp.where(valid, rs, -1.0)

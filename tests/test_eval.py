@@ -1,0 +1,96 @@
+"""Eval-path tests: multiscale helpers, host/device peak parity, grouping."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from multiposenet_tpu.eval.multiscale import (
+    SWAP_HEAT_18,
+    average_flip_heat,
+    crop_with_factor,
+    find_peaks_np,
+    get_multipliers,
+    joint_list_from_heatmaps,
+)
+from multiposenet_tpu.engine.evaluator import drop_neck, _joints_to_peak_arrays
+from multiposenet_tpu.ops.peaks import find_peaks_refined
+
+
+def test_get_multipliers():
+    m = get_multipliers(240, 480)
+    np.testing.assert_allclose(m, [1.0, 2.0, 3.0, 4.0, 5.0])
+
+
+def test_crop_with_factor_shapes():
+    img = np.zeros((100, 160, 3), np.uint8)
+    padded, scale, real = crop_with_factor(img, 240, factor=32, pad_val=128)
+    # min dim 100 -> scale 2.4 -> (240, 384); pad to /32: (256, 384)
+    assert abs(scale - 2.4) < 1e-9
+    assert padded.shape == (256, 384, 3)
+    assert real[:2] == (240, 384)
+    assert padded[250, 0, 0] == 128  # pad value
+    # bucketing bounds the shape set
+    p2, _, _ = crop_with_factor(img, 240, factor=32, pad_val=128, bucket=128)
+    assert p2.shape[0] % 128 == 0 and p2.shape[1] % 128 == 0
+
+
+def test_average_flip_heat_identity_for_symmetric():
+    # a symmetric heatmap with swapped channels must equal its own average
+    h, w = 8, 8
+    heat = np.random.RandomState(0).rand(h, w, 18).astype(np.float32)
+    flipped = heat[:, ::-1, :][:, :, SWAP_HEAT_18]
+    avg = average_flip_heat(heat, flipped)
+    np.testing.assert_allclose(avg, heat, atol=1e-6)
+    perm = np.array(SWAP_HEAT_18)
+    np.testing.assert_array_equal(perm[perm], np.arange(18))
+
+
+def test_host_and_device_peaks_agree_interior():
+    """find_peaks_np == ops.find_peaks_refined for interior peaks."""
+    rng = np.random.RandomState(3)
+    hm = np.zeros((40, 48, 3), np.float32)
+    yy, xx = np.mgrid[0:40, 0:48]
+    for j, (cy, cx) in enumerate([(12.3, 20.6), (25.7, 30.2), (18.1, 9.4)]):
+        hm[:, :, j] = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / 6.0) * 0.8
+
+    host = find_peaks_np(hm, thre1=0.1, upsamp_factor=4.0)
+    dev = find_peaks_refined(jnp.asarray(hm), 0.1, 8, upsamp_factor=4)
+    dev_coords = np.asarray(dev.coords)
+    dev_valid = np.asarray(dev.valid)
+    for j in range(3):
+        assert len(host[j]) == int(dev_valid[j].sum()) == 1
+        np.testing.assert_array_equal(host[j][0][:2], dev_coords[j, 0])
+
+
+def test_joint_list_format():
+    hm = np.zeros((20, 20, 18), np.float32)
+    hm[5, 5, 0] = 0.9
+    hm[10, 12, 2] = 0.7
+    jl = joint_list_from_heatmaps(hm, img_h=20, scale=2.0)
+    assert jl.shape == (2, 5)
+    # scaled coords, joint types 0 and 2
+    assert jl[0][4] == 0 and jl[1][4] == 2
+    np.testing.assert_allclose(jl[0][:2], [10, 10])
+
+
+def test_drop_neck_reindexing():
+    rows = np.array([
+        [1, 2, 0.9, 0, 0],   # nose stays 0
+        [3, 4, 0.8, 1, 1],   # neck dropped
+        [5, 6, 0.7, 2, 2],   # -> 1
+        [7, 8, 0.6, 3, 17],  # -> 16
+    ])
+    out = drop_neck(rows)
+    assert len(out) == 3
+    assert [r[4] for r in out] == [0, 1, 16]
+
+
+def test_joints_to_peak_arrays_capacity_and_order():
+    jl = [[1, 2, 0.9, 0, 3], [4, 5, 0.8, 1, 3], [6, 7, 0.7, 2, 0]]
+    xy, score, valid = _joints_to_peak_arrays(jl, max_peaks=2)
+    assert xy.shape == (17, 2, 2)
+    np.testing.assert_allclose(xy[3, 0], [1, 2])
+    np.testing.assert_allclose(xy[3, 1], [4, 5])
+    np.testing.assert_allclose(xy[0, 0], [6, 7])
+    # reference enters every peak with confidence 1
+    assert score[3, 0] == 1.0 and score[3, 1] == 1.0
+    assert valid.sum() == 3
