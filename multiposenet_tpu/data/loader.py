@@ -91,6 +91,13 @@ class Loader:
             done.set()
 
 
+    def stream(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Endless batch generator (reference datasets/dataloader.py:6-38
+        sDataLoader.get_stream)."""
+        while True:
+            yield from iter(self)
+
+
 def device_prefetch(iterator, put_fn: Callable, depth: int = 2):
     """Overlap H2D transfer with compute: put batches onto device `depth`
     steps ahead (the TPU analog of pinned-memory prefetch)."""

@@ -1,0 +1,193 @@
+"""End-to-end integration tests.
+
+test_coco_eval_machinery: drives Evaluator.coco_eval with the network
+stubbed to emit GT-derived heatmaps/boxes.  Everything downstream is real:
+multi-scale averaging, flip-swap averaging, host peak finding with sub-pixel
+refinement, neck-drop reindexing, the jitted PRN stage (random weights —
+scores only need to be positive), greedy grouping, COCO reordering, and the
+OKS evaluator.  If any joint-order table, coordinate transform, or
+assignment rule is wrong, AP collapses from 1.0.
+
+test_keypoint_overfit_recovers_peaks: trains the real keypoint subnet on one
+synthetic batch until the inference pipeline's peak finder recovers the
+planted joints — the full learn->infer loop.
+"""
+
+import os
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multiposenet_tpu.config import Config, ModelConfig, DataConfig
+from multiposenet_tpu.data.coco_json import COCOIndex
+from multiposenet_tpu.data.datasets import add_neck
+from multiposenet_tpu.engine.evaluator import Evaluator
+from multiposenet_tpu.models.posenet import PoseNet
+from multiposenet_tpu.ops.heatmap import make_heatmaps_np
+
+
+def _person_kps(cx, cy):
+    """17 visible COCO keypoints spread around (cx, cy)."""
+    rng = np.random.RandomState(int(cx) * 7 + int(cy))
+    kps = []
+    for j in range(17):
+        kps += [cx + (j % 5) * 6 - 12 + rng.randint(0, 2),
+                cy + (j // 5) * 8 - 12 + rng.randint(0, 2), 2]
+    return kps
+
+
+def _bbox_from_kps(kps):
+    xs, ys = kps[0::3], kps[1::3]
+    x0, y0 = min(xs) - 6, min(ys) - 6
+    return [x0, y0, max(xs) - x0 + 6, max(ys) - y0 + 6]
+
+
+@pytest.fixture(scope="module")
+def synthetic_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    imgs, anns = [], []
+    aid = 1
+    for img_id, centers in [(1, [(45, 60), (150, 70)]),
+                            (2, [(60, 100)])]:
+        h, w = 160, 224
+        img = (np.random.RandomState(img_id).rand(h, w, 3) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(str(root), f"{img_id}.jpg"), img)
+        imgs.append({"id": img_id, "height": h, "width": w,
+                     "file_name": f"{img_id}.jpg"})
+        for cx, cy in centers:
+            kps = _person_kps(cx, cy)
+            bbox = _bbox_from_kps(kps)
+            anns.append({"id": aid, "image_id": img_id, "category_id": 1,
+                         "iscrowd": 0, "num_keypoints": 17,
+                         "area": bbox[2] * bbox[3], "bbox": bbox,
+                         "keypoints": kps})
+            aid += 1
+    gt = {"images": imgs, "categories": [{"id": 1, "name": "person"}],
+          "annotations": anns}
+    import json
+    ann_file = os.path.join(str(root), "gt.json")
+    with open(ann_file, "w") as f:
+        json.dump(gt, f)
+    return str(root), ann_file, gt
+
+
+def test_coco_eval_machinery(synthetic_coco):
+    img_dir, ann_file, gt = synthetic_coco
+
+    cfg = Config(model=ModelConfig(backbone="resnet50"),
+                 data=DataConfig(inp_size=128))
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                      scale_search=(0.5, 1.0, 1.5)))
+    model = PoseNet(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17)),
+        method=PoseNet.init_all)
+    ev = Evaluator(cfg, model, variables)
+
+    # stub the network stage: GT-derived heatmaps at original resolution and
+    # GT boxes for every scale; flip handled by the caller flipping `img`
+    by_name = {}
+    gt_idx = COCOIndex(dataset=gt)
+    for img_rec in gt["images"]:
+        joints18 = []
+        boxes = []
+        for ann in gt_idx.img_to_anns[img_rec["id"]]:
+            j17 = np.asarray(ann["keypoints"], np.float64).reshape(17, 3)
+            # heatmap-drawing convention: v<=1 drawn (COCO v=2 -> internal 1)
+            j17[:, 2] = np.where(j17[:, 2] == 2, 1.0, 2.0)
+            joints18.append(add_neck(j17))
+            b = ann["bbox"]
+            boxes.append([b[0], b[1], b[0] + b[2], b[1] + b[3]])
+        by_name[img_rec["id"]] = (np.stack(joints18), boxes,
+                                  (img_rec["height"], img_rec["width"]))
+
+    call_state = {"img_id": None}
+
+    def stub_get_outputs(multipliers, img, bucket=64):
+        joints, boxes, (h, w) = by_name[call_state["img_id"]]
+        flipped = img[0, 0, 0] != cv2.imread(
+            os.path.join(img_dir, f"{call_state['img_id']}.jpg")
+        ).astype(np.float32)[0, 0, 0]
+        j = joints.copy()
+        if flipped:
+            from multiposenet_tpu.data.augment import FLIP_ORDER_18
+            j[:, :, 0] = w - 1 - j[:, :, 0]
+            j = j[:, FLIP_ORDER_18, :]
+        heat = make_heatmaps_np(j, h, w, stride=1, sigma=2.0)
+        bx = boxes if not flipped else []
+        return heat, [list(bx) for _ in multipliers]
+
+    orig_run = ev._get_outputs
+    ev._get_outputs = stub_get_outputs
+
+    # wrap coco_eval's per-image loop: we need img_id visible to the stub
+    real_loadimgs = COCOIndex.load_imgs
+
+    def tracking_load_imgs(self, ids):
+        out = real_loadimgs(self, ids)
+        if isinstance(ids, int) and ids in by_name:
+            call_state["img_id"] = ids
+        return out
+
+    COCOIndex.load_imgs = tracking_load_imgs
+    try:
+        metrics = ev.coco_eval(ann_file=ann_file, img_dir=img_dir)
+    finally:
+        COCOIndex.load_imgs = real_loadimgs
+        ev._get_outputs = orig_run
+
+    assert metrics, "no detections produced"
+    assert metrics["AP"] > 0.99, metrics
+    assert metrics["AR"] > 0.99, metrics
+
+
+def test_keypoint_overfit_recovers_peaks():
+    """Train the real keypoint subnet on one batch; the inference pipeline
+    must find the planted joints afterwards."""
+    from multiposenet_tpu.engine.train_steps import (
+        create_train_state, make_keypoint_steps)
+    from multiposenet_tpu.engine.inference import make_full_pipeline
+
+    size = 96
+    cfg = Config(model=ModelConfig(backbone="resnet50"),
+                 data=DataConfig(inp_size=size))
+    model = PoseNet(cfg.model)
+    state, tx, mask = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), (size, size), "keypoint")
+    train_step, _ = make_keypoint_steps(model, cfg, tx, mask)
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(2, size, size, 3) * 255).astype(np.uint8)
+    joints = np.full((2, 1, 18, 3), 2.0, np.float32)
+    planted = [(24, 32), (64, 56)]
+    for b, (x, y) in enumerate(planted):
+        joints[b, 0, :, 0] = x
+        joints[b, 0, :, 1] = y
+        joints[b, 0, :, 2] = 1.0
+    batch = {"image": jnp.asarray(img), "joints": jnp.asarray(joints),
+             "mask": jnp.ones((2, size // 4, size // 4), np.float32)}
+
+    loss = None
+    for i in range(80):
+        state, logs = train_step(state, batch, jnp.asarray(3e-4))
+        loss = float(logs["loss"])
+    assert loss < 0.03, f"did not overfit: loss {loss}"
+
+    pipe = make_full_pipeline(model, cfg, (size, size))
+    out = pipe({"params": state.params, "batch_stats": state.batch_stats},
+               jnp.asarray(img))
+    coords = np.asarray(out.peaks.coords)
+    scores = np.asarray(out.peaks.scores)
+    for b, (x, y) in enumerate(planted):
+        # strongest peak of each joint should be near the planted location
+        for j in range(18):
+            best = np.argmax(scores[b, j])
+            px, py = coords[b, j, best]
+            assert abs(px - x) <= 6 and abs(py - y) <= 6, (
+                b, j, (px, py), (x, y))
