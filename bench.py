@@ -33,7 +33,7 @@ def main():
     cfg = Config()
     model = PoseNet(cfg.model)
     size = cfg.data.inp_size
-    batch = 8  # per-chip inference batch
+    batch = 64  # per-chip inference batch (throughput sweet spot, docs/PERF.md)
 
     rng = jax.random.PRNGKey(0)
     params = model.init(
@@ -47,15 +47,17 @@ def main():
     imgs = jnp.asarray(
         (np.random.RandomState(0).rand(batch, size, size, 3) * 255).astype(np.uint8))
 
-    # warmup + compile
+    # warmup + compile (consume a scalar: on the axon remote runtime
+    # block_until_ready does not reliably wait for execution)
     out = pipeline(params, imgs)
-    jax.block_until_ready(out)
+    float(out.detections.scores[0, 0])
 
+    # enqueue all iterations, then consume one scalar from EVERY output so
+    # no execution can be elided; reads amortize across the pipelined queue
     iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(params, imgs)
-    jax.block_until_ready(out)
+    outs = [pipeline(params, imgs) for _ in range(iters)]
+    _ = sum(float(o.detections.scores[0, 0]) for o in outs)
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

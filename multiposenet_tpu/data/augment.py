@@ -19,7 +19,7 @@ p=0.3, pad values img 128 / mask_miss 255 / instance masks 0.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import cv2
 import numpy as np

@@ -18,7 +18,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from multiposenet_tpu.config import Config

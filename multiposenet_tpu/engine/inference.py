@@ -16,7 +16,6 @@ a few hundred values.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import numpy as np

@@ -25,7 +25,6 @@ from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from multiposenet_tpu.config import Config
 from multiposenet_tpu.engine import checkpoint as ckpt_lib

@@ -9,7 +9,6 @@ variable-resolution averaged heatmaps.
 
 from __future__ import annotations
 
-import math
 from typing import List, Sequence, Tuple
 
 import cv2

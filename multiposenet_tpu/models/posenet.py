@@ -12,13 +12,13 @@ The full inference pipeline (backbone -> both heads -> anchor decode -> NMS
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from multiposenet_tpu.config import ModelConfig
-from multiposenet_tpu.models.fpn import ResNetFPN, FPNFeatures
+from multiposenet_tpu.models.fpn import ResNetFPN
 from multiposenet_tpu.models.subnets import (
     ClassificationHead,
     KeypointHead,

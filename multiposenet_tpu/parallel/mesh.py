@@ -16,7 +16,7 @@ backbones can shard conv channels later without touching the engine.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

@@ -4,8 +4,6 @@ import os
 import sys
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from multiposenet_tpu.engine import checkpoint as ckpt_lib
 

@@ -1,7 +1,6 @@
 """Data pipeline tests: RLE codec, COCO index, joint reordering, PRN marks."""
 
 import numpy as np
-import pytest
 
 from multiposenet_tpu.config import Config
 from multiposenet_tpu.data.coco_json import COCOIndex

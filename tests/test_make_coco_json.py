@@ -1,6 +1,5 @@
 """Tests for the COCO.json / mask_miss generator tool."""
 
-import json
 import os
 import sys
 

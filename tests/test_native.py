@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from multiposenet_tpu import native
-from multiposenet_tpu.data.rle import decode_rle, encode_rle
+from multiposenet_tpu.data.rle import encode_rle
 from multiposenet_tpu.ops.heatmap import make_heatmaps_np
 
 pytestmark = pytest.mark.skipif(not native.available(),

@@ -1,7 +1,6 @@
 """Unit tests for the core ops library against independent numpy references."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 import scipy.ndimage as ndi

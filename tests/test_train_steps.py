@@ -18,7 +18,6 @@ from multiposenet_tpu.engine.train_steps import (
 from multiposenet_tpu.models.posenet import PoseNet
 from multiposenet_tpu.parallel import make_mesh, shard_batch
 
-import dataclasses
 
 
 def tiny_config(**data_kw):
