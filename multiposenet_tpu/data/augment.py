@@ -96,11 +96,14 @@ def aug_croppad(s: KeypointSample, cfg: DataConfig, rng: np.random.Generator):
                 constant_values=255)
     y0 = center[1] + crop // 2
     x0 = center[0] + crop // 2
-    s.img = img[y0 + crop: y0 + 2 * crop, x0 + crop: x0 + 2 * crop]
+    # padded row `crop` is original row 0, so the reference's slice
+    # [center + crop//2, center + crop//2 + crop) covers original rows
+    # [center - crop//2, center + crop//2) — centered on `center`
+    s.img = img[y0: y0 + crop, x0: x0 + crop]
     # reference slices mask with crop+1 rows/cols (COCO_data_pipeline quirk:
     # aug_croppad mask_miss slice has +1) then resizes; we keep exact crop --
     # the resize to stride grid swallows the off-by-one.
-    s.mask_miss = mm[y0 + crop: y0 + 2 * crop, x0 + crop: x0 + 2 * crop]
+    s.mask_miss = mm[y0: y0 + crop, x0: x0 + crop]
 
     offset = np.array([crop / 2 - center[0], crop / 2 - center[1]])
     s.objpos = s.objpos + offset
@@ -180,13 +183,12 @@ def augment_bbox_sample(s: BBoxSample, cfg: DataConfig,
     img = np.pad(s.img, ((crop, crop), (crop, crop), (0, 0)), constant_values=128)
     y0 = center[1] + crop // 2
     x0 = center[0] + crop // 2
-    s.img = img[y0 + crop: y0 + 2 * crop, x0 + crop: x0 + 2 * crop]
+    s.img = img[y0: y0 + crop, x0: x0 + crop]
     new_masks = []
     for m in s.masks:
         mp = np.pad(m, ((crop, crop), (crop, crop)), constant_values=0)
         # reference keeps the +1 slice for masks; bbox extents are identical
-        new_masks.append(mp[y0 + crop: y0 + 2 * crop + 1,
-                            x0 + crop: x0 + 2 * crop + 1])
+        new_masks.append(mp[y0: y0 + crop + 1, x0: x0 + crop + 1])
     s.masks = new_masks
 
     # flip (aug_flip_bbox:313-325)
