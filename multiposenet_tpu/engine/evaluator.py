@@ -204,25 +204,41 @@ class Evaluator:
     # ------------------------------------------------------------------
 
     def _get_outputs(self, multipliers: List[float], img: np.ndarray,
-                     bucket: int = 64):
+                     bucket: int = 64, with_flip: bool = False):
+        """Multi-scale heatmap average + per-scale boxes.
+
+        With `with_flip`, the horizontally flipped image rides in the same
+        device batch as the original (one pipeline dispatch per scale
+        instead of the reference's two full passes, tester.py:147-152);
+        returns (heat_avg, bbox_all, flip_heat_avg_or_None).
+        """
         heat_avg = np.zeros((img.shape[0], img.shape[1], 18), np.float32)
+        flip_avg = np.zeros_like(heat_avg) if with_flip else None
         bbox_all = []
+        img_f = img[:, ::-1, :] if with_flip else None
         for m in multipliers:
             inp_size = m * img.shape[0]
             cropped, im_scale, real_shape = crop_with_factor(
                 img, inp_size, factor=32, pad_val=128, bucket=bucket)
+            batch = [cropped[:, :, ::-1]]
+            if with_flip:
+                cropped_f, _, _ = crop_with_factor(
+                    img_f, inp_size, factor=32, pad_val=128, bucket=bucket)
+                batch.append(cropped_f[:, :, ::-1])
             out = self.pipeline(cropped.shape[:2])(
-                self.params, jnp.asarray(cropped[None, :, :, ::-1]))
-            hm = np.asarray(out.heatmaps)[0]
-            hm = resize_heatmap_to_original(hm, cropped.shape, real_shape,
-                                            img.shape)
-            heat_avg += hm / len(multipliers)
+                self.params, jnp.asarray(np.stack(batch)))
+            hms = np.asarray(out.heatmaps)
+            heat_avg += resize_heatmap_to_original(
+                hms[0], cropped.shape, real_shape, img.shape) / len(multipliers)
+            if with_flip:
+                flip_avg += resize_heatmap_to_original(
+                    hms[1], cropped.shape, real_shape, img.shape) / len(multipliers)
 
             dscores = np.asarray(out.detections.scores)[0]
             dboxes = np.asarray(out.detections.boxes)[0]
             keep = dscores > self.cfg.detection.test_score_thresh
             bbox_all.append((dboxes[keep] / im_scale).tolist())
-        return heat_avg, bbox_all
+        return heat_avg, bbox_all, flip_avg
 
     def coco_eval(self, coco_root: Optional[str] = None,
                   ann_file: Optional[str] = None, img_dir: Optional[str] = None,
@@ -246,9 +262,9 @@ class Evaluator:
             mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
                                    cfg.eval.scale_search)
 
-            orig_heat, orig_bbox = self._get_outputs(mult, ori)
+            orig_heat, orig_bbox, flip_heat = self._get_outputs(
+                mult, ori, with_flip=cfg.eval.flip)
             if cfg.eval.flip:
-                flip_heat, _ = self._get_outputs(mult, ori[:, ::-1, :])
                 heat = average_flip_heat(orig_heat, flip_heat)
             else:
                 heat = orig_heat

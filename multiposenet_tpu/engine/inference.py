@@ -16,6 +16,7 @@ a few hundred values.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -88,6 +89,25 @@ def make_full_pipeline(model: PoseNet, cfg: Config, image_hw: Tuple[int, int],
                 upsamp_factor=stride, win_size=pk.win_size, refine=pk.refine)
         )(predict_keypoint)
         return PipelineOutput(predict_keypoint, dets, peaks)
+
+    return run
+
+
+def make_sharded_pipeline(model: PoseNet, cfg: Config,
+                          image_hw: Tuple[int, int], mesh,
+                          preprocess: bool = True):
+    """Data-parallel inference over a device mesh: params replicated,
+    image batch sharded on the batch axis — multi-chip serving throughput
+    scales linearly over ICI with zero collectives in the forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    base = make_full_pipeline(model, cfg, image_hw, preprocess=preprocess)
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+
+    @functools.partial(jax.jit, in_shardings=(rep, dat), out_shardings=dat)
+    def run(params, images) -> PipelineOutput:
+        return base.__wrapped__(params, images)
 
     return run
 

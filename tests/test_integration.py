@@ -109,19 +109,17 @@ def test_coco_eval_machinery(synthetic_coco):
 
     call_state = {"img_id": None}
 
-    def stub_get_outputs(multipliers, img, bucket=64):
+    def stub_get_outputs(multipliers, img, bucket=64, with_flip=False):
         joints, boxes, (h, w) = by_name[call_state["img_id"]]
-        flipped = img[0, 0, 0] != cv2.imread(
-            os.path.join(img_dir, f"{call_state['img_id']}.jpg")
-        ).astype(np.float32)[0, 0, 0]
-        j = joints.copy()
-        if flipped:
+        heat = make_heatmaps_np(joints, h, w, stride=1, sigma=2.0)
+        flip_heat = None
+        if with_flip:
             from multiposenet_tpu.data.augment import FLIP_ORDER_18
+            j = joints.copy()
             j[:, :, 0] = w - 1 - j[:, :, 0]
             j = j[:, FLIP_ORDER_18, :]
-        heat = make_heatmaps_np(j, h, w, stride=1, sigma=2.0)
-        bx = boxes if not flipped else []
-        return heat, [list(bx) for _ in multipliers]
+            flip_heat = make_heatmaps_np(j, h, w, stride=1, sigma=2.0)
+        return heat, [list(boxes) for _ in multipliers], flip_heat
 
     orig_run = ev._get_outputs
     ev._get_outputs = stub_get_outputs

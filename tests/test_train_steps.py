@@ -142,6 +142,65 @@ def test_prn_train_step_runs():
     assert np.isfinite(float(val_step(state, batch)["loss"]))
 
 
+def test_detection_and_prn_steps_on_8_device_mesh():
+    """Detection and PRN stages also run data-parallel over the mesh."""
+    assert jax.device_count() >= 8
+    from multiposenet_tpu.parallel import replicated
+    cfg = tiny_config()
+    model = PoseNet(cfg.model)
+    mesh = make_mesh((-1,), ("data",))
+    rng = np.random.RandomState(0)
+
+    # detection
+    state, tx, mask = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), (96, 96), "detection")
+    step, _ = make_detection_steps(model, cfg, tx, mask, mesh=mesh,
+                                   image_hw=(96, 96))
+    state = jax.device_put(state, replicated(mesh))
+    boxes = np.full((8, 4, 5), -1.0, np.float32)
+    boxes[:, 0] = [10, 10, 60, 80, 0]
+    batch = shard_batch(mesh, {
+        "image": jnp.asarray((rng.rand(8, 96, 96, 3) * 255).astype(np.uint8)),
+        "boxes": jnp.asarray(boxes)})
+    state, logs = step(state, batch, jnp.asarray(1e-4))
+    assert np.isfinite(float(logs["loss"]))
+
+    # prn
+    state, tx, mask = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), (96, 96), "prn")
+    step, _ = make_prn_steps(model, cfg, tx, mask, mesh=mesh)
+    state = jax.device_put(state, replicated(mesh))
+    gh, gw = cfg.model.prn_height, cfg.model.prn_width
+    batch = shard_batch(mesh, {
+        "weights_marks": jnp.asarray((rng.rand(8, gh, gw, 17) > 0.99)
+                                     .astype(np.float32)),
+        "label_marks": jnp.asarray((rng.rand(8, gh, gw, 17) > 0.995)
+                                   .astype(np.float32))})
+    state, logs = step(state, batch, jnp.asarray(1e-3), jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["loss"]))
+
+
+def test_sharded_inference_pipeline_on_mesh():
+    """DP inference: replicated params, batch-sharded images."""
+    assert jax.device_count() >= 8
+    from multiposenet_tpu.engine.inference import make_sharded_pipeline
+    from multiposenet_tpu.parallel import replicated
+
+    cfg = tiny_config()
+    model = PoseNet(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)),
+        jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17)),
+        method=PoseNet.init_all)
+    mesh = make_mesh((-1,), ("data",))
+    pipe = make_sharded_pipeline(model, cfg, (96, 96), mesh)
+    variables = jax.device_put(variables, replicated(mesh))
+    imgs = shard_batch(mesh, jnp.zeros((8, 96, 96, 3), jnp.uint8))
+    out = pipe(variables, imgs)
+    assert out.heatmaps.shape == (8, 24, 24, 18)
+    assert not out.heatmaps.sharding.is_fully_replicated  # stays sharded
+
+
 def test_keypoint_step_on_8_device_mesh():
     """Data-parallel train step over the virtual 8-device CPU mesh."""
     assert jax.device_count() >= 8
