@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import signal
 from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
@@ -133,6 +134,19 @@ class Trainer:
             cfg.train.init_lr, cfg.train.lr_decay, cfg.train.plateau_patience)
         self._rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.metrics = MetricsWriter(self.save_dir)
+        self._stop_requested = False
+
+    def install_signal_handlers(self):
+        """Graceful preemption: SIGTERM/SIGINT finish the current step,
+        checkpoint, then exit the epoch loop — the auto-resume path
+        (trainer.py:159-168 semantics) picks the run back up.  TPU pods get
+        preempted; the reference had no story for this."""
+        def _handler(signum, _frame):
+            logger.warning("signal %d received: will checkpoint and stop "
+                           "after the current step", signum)
+            self._stop_requested = True
+        signal.signal(signal.SIGTERM, _handler)
+        signal.signal(signal.SIGINT, _handler)
 
     # ------------------------------------------------------------------
 
@@ -204,6 +218,13 @@ class Trainer:
             if (self.val_data is not None and cfg.val_freq > 0
                     and self.global_step % cfg.val_freq == 0):
                 self.validate(cfg.val_nbatch)
+
+            if self._stop_requested:
+                ckpt_lib.save_checkpoint(self.save_dir, self.state,
+                                         self.last_epoch, cfg.save_nckpt_max)
+                logger.info("checkpointed at step %d after stop request",
+                            self.global_step)
+                raise SystemExit(0)
 
             self.data_timer.tic()
 

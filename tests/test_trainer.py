@@ -1,0 +1,76 @@
+"""Trainer engine tests: scheduler, resume, graceful preemption."""
+
+import os
+import signal
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multiposenet_tpu.config import Config, ModelConfig, DataConfig, TrainConfig
+from multiposenet_tpu.data.loader import Loader
+from multiposenet_tpu.engine import checkpoint as ckpt_lib
+from multiposenet_tpu.engine.trainer import ReduceLROnPlateau, Trainer
+
+
+class SynthDS:
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, i, rng=None):
+        r = np.random.RandomState(i)
+        joints = np.full((2, 18, 3), 2.0, np.float32)
+        joints[0, :, 0] = r.uniform(10, 86, 18)
+        joints[0, :, 1] = r.uniform(10, 86, 18)
+        joints[0, :, 2] = 1.0
+        return {"image": (r.rand(96, 96, 3) * 255).astype(np.uint8),
+                "joints": joints,
+                "mask": np.ones((24, 24), np.float32)}
+
+
+def _cfg(tmp, **tr):
+    return Config(
+        model=ModelConfig(backbone="resnet50"),
+        data=DataConfig(inp_size=96),
+        train=TrainConfig(subnet="keypoint", batch_size=8, max_epoch=1,
+                          init_lr=1e-4, save_dir=str(tmp), exp_name="t",
+                          print_freq=100, val_freq=0, save_freq_step=10 ** 9,
+                          val_nbatch_end_epoch=0, **tr))
+
+
+def test_plateau_scheduler_semantics():
+    s = ReduceLROnPlateau(1.0, factor=0.5, patience=2)
+    lrs = [s.step(v) for v in [3.0, 2.0, 2.5, 2.4, 2.3, 2.2]]
+    # bad epochs: 2.5, 2.4, 2.3 -> reduce on the 3rd (patience 2 exceeded)
+    assert lrs == [1.0, 1.0, 1.0, 1.0, 0.5, 0.5]
+
+
+def test_sigterm_checkpoints_and_exits(tmp_path):
+    cfg = _cfg(tmp_path)
+    loader = Loader(SynthDS(), batch_size=8, num_workers=1)
+    t = Trainer(cfg, train_data=loader, val_data=None)
+    t.install_signal_handlers()
+
+    killer = threading.Timer(0.1, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    killer.start()
+    with pytest.raises(SystemExit):
+        t.train()
+    killer.cancel()
+    save_dir = os.path.join(str(tmp_path), "t")
+    assert ckpt_lib.list_checkpoints(save_dir), "no checkpoint on SIGTERM"
+    # default handlers restored for the rest of the test session
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.default_int_handler)
+
+
+def test_auto_resume_roundtrip(tmp_path):
+    cfg = _cfg(tmp_path)
+    loader = Loader(SynthDS(), batch_size=8, num_workers=1)
+    t = Trainer(cfg, train_data=loader, val_data=loader)
+    t.train()
+    assert t.last_epoch == 1
+    # a fresh Trainer picks up the newest checkpoint automatically
+    t2 = Trainer(cfg, train_data=loader, val_data=loader)
+    assert t2.last_epoch == 1
+    assert int(t2.state.step) == int(t.state.step)
