@@ -97,6 +97,9 @@ class PRNConfig:
     max_people: int = 32           # fixed PRN batch capacity per image
     score_window: int = 15         # NxN crop around peak for PRN scoring (tester.py:416)
     min_num_keypoints: int = 3     # training anns need > this many kps (prn_data_pipeline.py:120)
+    # greedy mutual-best assignment on device (ops/grouping.py; fuzz-matched
+    # against the exact host implementation in eval/grouping.py)
+    device_grouping: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from multiposenet_tpu.config import Config
@@ -120,6 +121,18 @@ class Evaluator:
             self.params, jnp.asarray(peak_xy), jnp.asarray(peak_score),
             jnp.asarray(peak_valid), jnp.asarray(boxes_pad),
             jnp.asarray(box_valid))
+
+        if self.cfg.prn.device_grouping:
+            from multiposenet_tpu.ops.grouping import assign_peaks
+            from multiposenet_tpu.eval.grouping import format_assignment
+            a = jax.jit(assign_peaks)(table, inside, x0, y0, prn_out,
+                                      jnp.asarray(boxes_pad))
+            # active_any must consider only the real (non-padded) boxes
+            active = np.asarray(a.active)[:nb]
+            return format_assignment(
+                np.asarray(a.chosen)[:nb], active.any(axis=(0, 2)), active,
+                np.asarray(a.fallback_xy)[:nb], peak_xy, boxes[:nb],
+                file_name=file_name, image_id=image_id)
 
         return group_peaks(
             np.asarray(table)[:nb], np.asarray(inside)[:nb],

@@ -1,0 +1,91 @@
+"""On-device greedy mutual-best peak-to-person assignment.
+
+The reference's `prn_process` assignment (evaluate/tester.py:431-483) walks
+each person's peaks in descending score order and accepts the first peak r
+with:  (a) this person wins r's column (argmax over people), or (b) r is the
+ascending-argsort-first entry of the column winner's row (the reference's
+faithfully odd `row2[0] == r` rule, including zero entries).
+
+Because the score table is never mutated during the walk, every (person,
+peak) acceptance test is independent — the sequential double loop flattens
+into a few masked argmax/argmin reductions, one fused kernel on TPU:
+
+  cw[j,p]      = argmax_b t[b,j,p]                       (column winner)
+  amin[j,p]    = argmin over VALID columns of t[cw, j, :] (stable first-min)
+  accept[b,j,p]= t>0 & (cw==b | amin==p)
+  chosen[b,j]  = argmax_p where(accept, t, -inf)          (desc score walk)
+
+Cell-collision dedupe (numpy overwrite semantics: the LAST peak written to a
+grid cell survives, tester.py:393) is a (P,P) mask per (person, joint).
+
+`eval/grouping.group_peaks` remains the host reference; the fuzz test
+asserts slot-for-slot agreement.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Assignment(NamedTuple):
+    chosen: jnp.ndarray       # (B, J) int32 peak slot per joint, -1 = none
+    active_any: jnp.ndarray   # (J,) bool — joint type has any scored peak
+    fallback_xy: jnp.ndarray  # (B, J, 2) float32 PRN-argmax fallback coords
+    active: jnp.ndarray       # (B, J, P) bool post-dedupe activity
+
+
+def assign_peaks(
+    table: jnp.ndarray,    # (B, J, P) float scores (0 where peak not in box)
+    inside: jnp.ndarray,   # (B, J, P) bool
+    cell_x: jnp.ndarray,   # (B, J, P) int32
+    cell_y: jnp.ndarray,   # (B, J, P) int32
+    prn_out: jnp.ndarray,  # (B, gh, gw, J) PRN output grids
+    boxes_xywh: jnp.ndarray,  # (B, 4)
+) -> Assignment:
+    num_b, num_j, num_p = table.shape
+    gh, gw = prn_out.shape[1], prn_out.shape[2]
+
+    # ---- dedupe: last peak written to a cell wins ------------------------
+    same_cell = ((cell_x[..., :, None] == cell_x[..., None, :]) &
+                 (cell_y[..., :, None] == cell_y[..., None, :]))
+    p_idx = jnp.arange(num_p)
+    later = p_idx[None, :] > p_idx[:, None]          # (P, P): p2 after p
+    lose = jnp.any(same_cell & inside[..., None, :] & later[None, None],
+                   axis=-1)
+    active = inside & jnp.logical_not(lose)
+    t = jnp.where(active, table, 0.0).astype(jnp.float32)
+
+    # ---- mutual-best conditions -----------------------------------------
+    cw = jnp.argmax(t, axis=0)                        # (J, P) column winner
+    valid_col = jnp.any(active, axis=0)               # (J, P)
+    # winner's rows: rows[j, p, :] = t[cw[j, p], j, :]
+    tj = jnp.transpose(t, (1, 0, 2))                  # (J, B, P')
+    rows = tj[jnp.arange(num_j)[:, None], cw, :]      # (J, P, P')
+    rows_masked = jnp.where(valid_col[:, None, :], rows, jnp.inf)
+    amin = jnp.argmin(rows_masked, axis=-1)           # (J, P) stable first-min
+
+    b_idx = jnp.arange(num_b)[:, None, None]
+    accept = (t > 0.0) & ((cw[None] == b_idx) |
+                          (amin[None] == p_idx[None, None, :]))
+
+    masked = jnp.where(accept, t, -jnp.inf)
+    chosen = jnp.argmax(masked, axis=-1).astype(jnp.int32)   # (B, J)
+    has = jnp.max(masked, axis=-1) > 0.0
+    chosen = jnp.where(has, chosen, -1)
+
+    # ---- fallback: PRN argmax per (box, joint), mapped to image coords ---
+    flat = prn_out.reshape(num_b, gh * gw, num_j)
+    am = jnp.argmax(flat, axis=1)                     # (B, J)
+    my = (am // gw).astype(jnp.float32)
+    mx = (am % gw).astype(jnp.float32)
+    x_scale = gw / jnp.ceil(boxes_xywh[:, 2:3])
+    y_scale = gh / jnp.ceil(boxes_xywh[:, 3:4])
+    fx = mx / x_scale + boxes_xywh[:, 0:1]
+    fy = my / y_scale + boxes_xywh[:, 1:2]
+    fallback_xy = jnp.stack([fx, fy], axis=-1)
+
+    return Assignment(chosen=chosen, active_any=jnp.any(active, axis=(0, 2)),
+                      fallback_xy=fallback_xy, active=active)
