@@ -191,9 +191,13 @@ class Trainer:
         self.data_timer.tic()
 
         n_batches = len(self.train_data) if hasattr(self.train_data, "__len__") else None
-        for step, batch in enumerate(self.train_data):
+        # overlap H2D with compute: batches are placed on the mesh two steps
+        # ahead of consumption (data/loader.device_prefetch)
+        from multiposenet_tpu.data.loader import device_prefetch
+        prefetched = device_prefetch(
+            iter(self.train_data), lambda b: shard_batch(self.mesh, b), depth=2)
+        for step, batch in enumerate(prefetched):
             self.data_timer.toc(average=False)
-            batch = shard_batch(self.mesh, batch)
             self.batch_timer.tic()
             self.state, logs = self.train_step(
                 self.state, batch, *self._step_args(self.scheduler.lr))
