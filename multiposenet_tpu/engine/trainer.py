@@ -79,6 +79,13 @@ class Trainer:
         self.val_data = val_data
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.train.mesh_shape, cfg.train.mesh_axes)
+        n_dev = self.mesh.devices.size
+        if cfg.train.batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} must be divisible by the "
+                f"mesh device count {n_dev} (data-parallel sharding); "
+                f"use --batch-size {((cfg.train.batch_size // n_dev) + 1) * n_dev} "
+                f"or a smaller mesh")
         self.subnet = cfg.train.subnet
         self.save_dir = os.path.join(cfg.train.save_dir, cfg.train.exp_name)
 

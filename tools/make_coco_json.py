@@ -82,12 +82,17 @@ def _person_record(ann, others, img_info, dataset, is_val, people_index,
 
 def process_split(coco: COCOIndex, dataset: str, val_ids, records,
                   mask_dir: str, annolist_base: int, min_keypoints: int = 5,
-                  min_area: float = 32 * 32):
+                  min_area: float = 32 * 32, img_prefix: str = ""):
+    """`img_prefix` is joined onto each file_name in img_paths — for the real
+    COCO layout pass 'train2014'/'val2014' (images live under
+    images/<split>2014/); empty keeps bare file names."""
     import cv2
 
     img_ids = coco.get_img_ids(cat_ids=[1])
     for annolist_index, img_id in enumerate(img_ids):
-        info = coco.load_imgs(img_id)[0]
+        info = dict(coco.load_imgs(img_id)[0])
+        if img_prefix:
+            info["file_name"] = os.path.join(img_prefix, info["file_name"])
         anns = [a for a in coco.img_to_anns[img_id]
                 if a.get("category_id") == 1]
         h, w = info["height"], info["width"]
@@ -143,10 +148,10 @@ def main():
     coco_val = COCOIndex(val_path)
     minival = set(coco_val.get_img_ids(cat_ids=[1])[:MINIVAL_COUNT])
     process_split(coco_val, "COCO_val", minival, records, args.mask_dir, 0,
-                  args.min_keypoints)
+                  args.min_keypoints, img_prefix="val2014")
     coco_train = COCOIndex(train_path)
     process_split(coco_train, "COCO", set(), records, args.mask_dir,
-                  10 ** 6, args.min_keypoints)
+                  10 ** 6, args.min_keypoints, img_prefix="train2014")
 
     with open(args.out_json, "w") as f:
         json.dump({"root": records}, f)
