@@ -27,7 +27,10 @@ import orbax.checkpoint as ocp
 
 from multiposenet_tpu.utils.logging import logger
 
-CKPT_RE = re.compile(r"ckpt_(\d+)$")
+# `ckpt_{epoch}` for epoch checkpoints, `ckpt_{epoch}_s{step}` for in-epoch
+# (periodic/preemption) checkpoints; auto-resume orders by (epoch, step) so
+# two preemptions inside one epoch never overwrite each other.
+CKPT_RE = re.compile(r"ckpt_(\d+)(?:_s(\d+))?$")
 
 
 def _flatten(tree, prefix=()):
@@ -40,11 +43,18 @@ def _flatten(tree, prefix=()):
     return out
 
 
+def _ckpt_name(epoch: int, step: Optional[int] = None) -> str:
+    return f"ckpt_{epoch}" if step is None else f"ckpt_{epoch}_s{step}"
+
+
 def save_checkpoint(save_dir: str, state, epoch: int,
-                    max_n_ckpts: int = 0) -> str:
-    """Write `ckpt_{epoch}` under save_dir; prune old ones if requested."""
+                    max_n_ckpts: int = 0, step: Optional[int] = None) -> str:
+    """Write `ckpt_{epoch}[_s{step}]` under save_dir; prune old ones if
+    requested.  Pass `step` for in-epoch saves (save_freq_step, preemption)
+    so they get distinct names (reference trainer.py:271-274 suffixed step
+    ckpts the same way with `_{step}` in the filename)."""
     os.makedirs(save_dir, exist_ok=True)
-    path = os.path.abspath(os.path.join(save_dir, f"ckpt_{epoch}"))
+    path = os.path.abspath(os.path.join(save_dir, _ckpt_name(epoch, step)))
     ckptr = ocp.StandardCheckpointer()
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -52,30 +62,38 @@ def save_checkpoint(save_dir: str, state, epoch: int,
     ckptr.wait_until_finished()
 
     if max_n_ckpts > 0:
-        existing = sorted(list_checkpoints(save_dir))
-        for e in existing[:-max_n_ckpts]:
-            victim = os.path.join(save_dir, f"ckpt_{e}")
+        for e, s in list_checkpoints(save_dir)[:-max_n_ckpts]:
+            victim = os.path.join(
+                save_dir, _ckpt_name(e, s if s >= 0 else None))
             shutil.rmtree(victim, ignore_errors=True)
     return path
 
 
 def list_checkpoints(save_dir: str):
+    """Sorted (epoch, step) tuples; epoch ckpts sort after their in-epoch
+    step ckpts (step -1 sentinel means 'end of epoch' — an epoch save
+    supersedes any step save made during it)."""
     if not os.path.isdir(save_dir):
         return []
     out = []
     for name in os.listdir(save_dir):
         m = CKPT_RE.match(name)
         if m and os.path.isdir(os.path.join(save_dir, name)):
-            out.append(int(m.group(1)))
-    return sorted(out)
+            epoch = int(m.group(1))
+            step = int(m.group(2)) if m.group(2) is not None else -1
+            # epoch ckpt for epoch e outranks step ckpts of epoch e; encode
+            # by sorting step -1 as +inf within the epoch
+            out.append((epoch, step))
+    return sorted(out, key=lambda t: (t[0], float("inf") if t[1] < 0 else t[1]))
 
 
 def latest_checkpoint(save_dir: str) -> Optional[str]:
     """Newest ckpt path for auto-resume (reference trainer.py:159-168)."""
-    epochs = list_checkpoints(save_dir)
-    if not epochs:
+    ckpts = list_checkpoints(save_dir)
+    if not ckpts:
         return None
-    return os.path.join(save_dir, f"ckpt_{epochs[-1]}")
+    e, s = ckpts[-1]
+    return os.path.join(save_dir, _ckpt_name(e, s if s >= 0 else None))
 
 
 def restore_checkpoint(path: str, state_template):

@@ -127,6 +127,10 @@ class Trainer:
                     m = ckpt_lib.CKPT_RE.match(os.path.basename(resume))
                     if m:
                         self.last_epoch = int(m.group(1))
+                        if m.group(2) is not None:
+                            # mid-epoch (step/preemption) ckpt: the epoch it
+                            # was taken in did not finish — re-run it
+                            self.last_epoch -= 1
             logger.info("resumed from %s (epoch %d)", resume, self.last_epoch)
 
         self.state = jax.device_put(self.state, replicated(self.mesh))
@@ -224,7 +228,8 @@ class Trainer:
 
             if self.global_step % cfg.save_freq_step == 0:
                 ckpt_lib.save_checkpoint(self.save_dir, self.state,
-                                         self.last_epoch, cfg.save_nckpt_max)
+                                         self.last_epoch, cfg.save_nckpt_max,
+                                         step=self.global_step)
 
             if (self.val_data is not None and cfg.val_freq > 0
                     and self.global_step % cfg.val_freq == 0):
@@ -232,7 +237,8 @@ class Trainer:
 
             if self._stop_requested:
                 ckpt_lib.save_checkpoint(self.save_dir, self.state,
-                                         self.last_epoch, cfg.save_nckpt_max)
+                                         self.last_epoch, cfg.save_nckpt_max,
+                                         step=self.global_step)
                 logger.info("checkpointed at step %d after stop request",
                             self.global_step)
                 raise SystemExit(0)

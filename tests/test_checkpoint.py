@@ -26,7 +26,7 @@ def test_save_restore_roundtrip(tmp_path):
     d = str(tmp_path / "ckpts")
     t = _tree()
     ckpt_lib.save_checkpoint(d, t, epoch=3)
-    assert ckpt_lib.list_checkpoints(d) == [3]
+    assert ckpt_lib.list_checkpoints(d) == [(3, -1)]
     ckpt_lib.save_checkpoint(d, t, epoch=5)
     assert ckpt_lib.latest_checkpoint(d).endswith("ckpt_5")
 
@@ -41,7 +41,27 @@ def test_checkpoint_pruning(tmp_path):
     t = _tree()
     for e in range(1, 6):
         ckpt_lib.save_checkpoint(d, t, epoch=e, max_n_ckpts=2)
-    assert ckpt_lib.list_checkpoints(d) == [4, 5]
+    assert ckpt_lib.list_checkpoints(d) == [(4, -1), (5, -1)]
+
+
+def test_step_checkpoints_distinct_and_ordered(tmp_path):
+    """Two preemptions in one epoch must not overwrite each other
+    (docs/ROADMAP.md item 8), and resume must pick the newest."""
+    d = str(tmp_path / "ckpts")
+    t = _tree()
+    ckpt_lib.save_checkpoint(d, t, epoch=2)                 # epoch 2 done
+    p1 = ckpt_lib.save_checkpoint(d, t, epoch=3, step=100)  # preempt 1
+    p2 = ckpt_lib.save_checkpoint(d, t, epoch=3, step=250)  # preempt 2
+    assert p1 != p2 and os.path.isdir(p1) and os.path.isdir(p2)
+    assert ckpt_lib.latest_checkpoint(d).endswith("ckpt_3_s250")
+    # finishing epoch 3 outranks its step ckpts
+    ckpt_lib.save_checkpoint(d, t, epoch=3)
+    assert ckpt_lib.latest_checkpoint(d).endswith("ckpt_3")
+    assert ckpt_lib.list_checkpoints(d) == [
+        (2, -1), (3, 100), (3, 250), (3, -1)]
+    # pruning keeps the newest two in that order
+    ckpt_lib.save_checkpoint(d, t, epoch=4, step=10, max_n_ckpts=2)
+    assert ckpt_lib.list_checkpoints(d) == [(3, -1), (4, 10)]
 
 
 def test_partial_restore_tolerates_mismatch(tmp_path):
