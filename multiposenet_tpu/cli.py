@@ -91,12 +91,23 @@ def make_loaders(cfg, subnet: str, training: bool):
                            f"person_keypoints_{split}.json")
         ds = PRNDataset(COCOIndex(ann), cfg)
 
+    # Multi-host: cfg.train.batch_size is the GLOBAL batch; each host loads
+    # a disjoint shard sized batch/process_count.  Validation stays unsharded
+    # (every host sees the same batches, so plateau-LR decisions agree).
+    from multiposenet_tpu.parallel import distributed as dist
+    if training and dist.process_count() > 1:
+        return Loader(ds, dist.per_host_batch(cfg.train.batch_size),
+                      shuffle=True, num_workers=cfg.data.num_workers,
+                      shard_id=dist.process_index(),
+                      num_shards=dist.process_count())
     return Loader(ds, cfg.train.batch_size, shuffle=training,
                   num_workers=cfg.data.num_workers)
 
 
 def cmd_train(args):
     from multiposenet_tpu.engine.trainer import Trainer
+    from multiposenet_tpu.parallel import distributed as dist
+    dist.initialize(args.coordinator)
     cfg = build_config(args, args.subnet)
     train = make_loaders(cfg, args.subnet, True)
     val = make_loaders(cfg, args.subnet, False)
@@ -173,6 +184,9 @@ def main(argv=None):
                     choices=["keypoint", "detection", "prn"])
     pt.add_argument("--init-params", default=None,
                     help="params-only checkpoint for staged training")
+    pt.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 for multi-host training "
+                         "(default: auto-detect TPU pod / SLURM env)")
     pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("val")

@@ -18,7 +18,13 @@ import numpy as np
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 4):
+                 prefetch: int = 4, shard_id: int = 0, num_shards: int = 1):
+        """`batch_size` is the PER-HOST batch.  For multi-host training pass
+        shard_id=process_index, num_shards=process_count: every host shuffles
+        with the same seed and takes a disjoint stride of the global order, so
+        the union of shards covers the dataset exactly once per epoch."""
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -26,19 +32,27 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.epoch = 0
 
+    def _shard_size(self):
+        # ceil-div then truncate so every shard has the SAME length (hosts
+        # must run the same number of steps or collectives deadlock)
+        return len(self.dataset) // self.num_shards
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_size()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        order = order[self.shard_id::self.num_shards][: self._shard_size()]
+        n = len(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for i in range(0, stop, self.batch_size):
             yield order[i: i + self.batch_size]

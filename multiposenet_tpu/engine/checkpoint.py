@@ -47,6 +47,19 @@ def _ckpt_name(epoch: int, step: Optional[int] = None) -> str:
     return f"ckpt_{epoch}" if step is None else f"ckpt_{epoch}_s{step}"
 
 
+def _checkpointer() -> ocp.Checkpointer:
+    """Standard checkpointer; in multi-host runs the save barrier is
+    restricted to process 0 — the engine device_gets the (replicated) state
+    and only the primary host calls save (trainer.py is_primary gating), so
+    a global barrier would deadlock waiting for the other hosts."""
+    if jax.process_count() > 1:
+        return ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}))
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(save_dir: str, state, epoch: int,
                     max_n_ckpts: int = 0, step: Optional[int] = None) -> str:
     """Write `ckpt_{epoch}[_s{step}]` under save_dir; prune old ones if
@@ -55,11 +68,12 @@ def save_checkpoint(save_dir: str, state, epoch: int,
     ckpts the same way with `_{step}` in the filename)."""
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.abspath(os.path.join(save_dir, _ckpt_name(epoch, step)))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     if os.path.exists(path):
         shutil.rmtree(path)
     ckptr.save(path, jax.device_get(state))
-    ckptr.wait_until_finished()
+    if hasattr(ckptr, "wait_until_finished"):  # async (single-host) flavor
+        ckptr.wait_until_finished()
 
     if max_n_ckpts > 0:
         for e, s in list_checkpoints(save_dir)[:-max_n_ckpts]:

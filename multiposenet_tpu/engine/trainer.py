@@ -35,6 +35,7 @@ from multiposenet_tpu.engine.train_steps import (
 )
 from multiposenet_tpu.models.posenet import PoseNet
 from multiposenet_tpu.parallel import make_mesh, replicated, shard_batch
+from multiposenet_tpu.parallel import distributed as dist
 from multiposenet_tpu.utils.logging import logger
 from multiposenet_tpu.utils.meters import AverageValueMeter
 from multiposenet_tpu.utils.metrics import MetricsWriter
@@ -144,7 +145,11 @@ class Trainer:
         self.scheduler = ReduceLROnPlateau(
             cfg.train.init_lr, cfg.train.lr_decay, cfg.train.plateau_patience)
         self._rng = jax.random.PRNGKey(cfg.train.seed + 1)
-        self.metrics = MetricsWriter(self.save_dir)
+        # multi-host: only the primary host writes ckpts/metrics; validation
+        # and the plateau scheduler run on every host with identical inputs,
+        # so LR decisions stay in lockstep without a collective
+        self.is_primary = dist.is_primary()
+        self.metrics = MetricsWriter(self.save_dir) if self.is_primary else None
         self._stop_requested = False
 
     def install_signal_handlers(self):
@@ -182,15 +187,18 @@ class Trainer:
 
             if (self.last_epoch % self.cfg.train.save_freq_epoch == 0
                     or self.last_epoch == self.cfg.train.max_epoch):
-                path = ckpt_lib.save_checkpoint(
-                    self.save_dir, self.state, self.last_epoch,
-                    self.cfg.train.save_nckpt_max)
+                path = None
+                if self.is_primary:
+                    path = ckpt_lib.save_checkpoint(
+                        self.save_dir, self.state, self.last_epoch,
+                        self.cfg.train.save_nckpt_max)
                 if self.cfg.train.val_nbatch_end_epoch > 0 and self.val_data is not None:
                     val_loss = self.validate(self.cfg.train.val_nbatch_end_epoch)
                     if val_loss < best_loss:
-                        best = ckpt_lib.copy_best(path, val_loss)
-                        logger.info("found better ckpt (%.5f -> %.5f): %s",
-                                    best_loss, val_loss, best)
+                        if path is not None:
+                            best = ckpt_lib.copy_best(path, val_loss)
+                            logger.info("found better ckpt (%.5f -> %.5f): %s",
+                                        best_loss, val_loss, best)
                         best_loss = val_loss
                     self.scheduler.step(val_loss)
 
@@ -222,11 +230,12 @@ class Trainer:
 
             if step % cfg.print_freq == 0:
                 self._print_log(step, n_batches, meters)
-                self.metrics.write(self.global_step,
-                                   {k: float(v) for k, v in logs.items()},
-                                   prefix="train/")
+                if self.metrics is not None:
+                    self.metrics.write(self.global_step,
+                                       {k: float(v) for k, v in logs.items()},
+                                       prefix="train/")
 
-            if self.global_step % cfg.save_freq_step == 0:
+            if self.global_step % cfg.save_freq_step == 0 and self.is_primary:
                 ckpt_lib.save_checkpoint(self.save_dir, self.state,
                                          self.last_epoch, cfg.save_nckpt_max,
                                          step=self.global_step)
@@ -236,11 +245,12 @@ class Trainer:
                 self.validate(cfg.val_nbatch)
 
             if self._stop_requested:
-                ckpt_lib.save_checkpoint(self.save_dir, self.state,
-                                         self.last_epoch, cfg.save_nckpt_max,
-                                         step=self.global_step)
-                logger.info("checkpointed at step %d after stop request",
-                            self.global_step)
+                if self.is_primary:
+                    ckpt_lib.save_checkpoint(
+                        self.save_dir, self.state, self.last_epoch,
+                        cfg.save_nckpt_max, step=self.global_step)
+                    logger.info("checkpointed at step %d after stop request",
+                                self.global_step)
                 raise SystemExit(0)
 
             self.data_timer.tic()

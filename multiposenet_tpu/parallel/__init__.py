@@ -4,3 +4,5 @@ from multiposenet_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from multiposenet_tpu.parallel import distributed
+

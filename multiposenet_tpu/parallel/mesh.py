@@ -45,6 +45,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host pytree onto the mesh, batch-sharded on dim 0."""
+    """Place a host pytree onto the mesh, batch-sharded on dim 0.
+
+    Single-process: a plain device_put split over local devices.
+    Multi-host (jax.distributed): `batch` is this host's LOCAL slice of the
+    global batch (see parallel.distributed.per_host_batch + Loader's
+    shard_id/num_shards); the global array is assembled from the per-process
+    shards without any cross-host copy.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, x), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,102 @@
+"""Multi-host data parallelism (docs/ROADMAP.md item 6).
+
+The reference has no multi-node story (single-process nn.DataParallel,
+SURVEY.md section 2.6).  Ours: jax.distributed + per-host dataset shards +
+jax.make_array_from_process_local_data global batch assembly.  The
+two-process test runs a REAL jax.distributed cluster over gloo CPU
+collectives in subprocesses.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from multiposenet_tpu.data.loader import Loader
+from multiposenet_tpu.parallel import distributed as dist
+
+
+class _DS:
+    def __len__(self):
+        return 20
+
+    def __getitem__(self, i, rng=None):
+        return {"i": np.asarray([i], np.int64)}
+
+
+def _indices(loader):
+    return sorted(int(b["i"][j, 0]) for b in loader
+                  for j in range(b["i"].shape[0]))
+
+
+def test_loader_shards_disjoint_and_exhaustive():
+    n_shards = 4
+    shards = [Loader(_DS(), batch_size=5, shuffle=True, num_workers=1,
+                     shard_id=s, num_shards=n_shards)
+              for s in range(n_shards)]
+    assert all(len(ld) == 1 for ld in shards)
+    all_idx = [i for ld in shards for i in _indices(ld)]
+    assert sorted(all_idx) == list(range(20))  # disjoint + exhaustive
+
+
+def test_loader_shards_equal_length_with_remainder():
+    # 20 items over 3 shards -> every shard truncated to 6 (hosts must run
+    # the same number of steps or collectives deadlock)
+    shards = [Loader(_DS(), batch_size=2, shuffle=False, num_workers=1,
+                     shard_id=s, num_shards=3) for s in range(3)]
+    lens = [len(_indices(ld)) for ld in shards]
+    assert lens == [6, 6, 6]
+    assert all(len(ld) == 3 for ld in shards)
+
+
+def test_loader_shard_validation():
+    with pytest.raises(ValueError):
+        Loader(_DS(), batch_size=2, shard_id=2, num_shards=2)
+
+
+def test_per_host_batch_and_single_process_defaults():
+    assert dist.process_count() == 1
+    assert dist.process_index() == 0
+    assert dist.is_primary()
+    assert dist.per_host_batch(8) == 8
+    # initialize() without a coordinator/cluster env is a no-op
+    assert dist.initialize() is False
+
+
+def test_two_process_cluster():
+    """Spawn a real 2-process jax.distributed cluster (gloo collectives)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "mh_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    procs = [subprocess.Popen([sys.executable, worker, str(p), str(port)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for p in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, mean, seen = line.split(" ", 3)
+                results[int(pid)] = (mean, eval(seen.split("=", 1)[1]))
+    assert set(results) == {0, 1}, outs
+    assert results[0][0] == results[1][0] == "mean=3.5"
+    # the two hosts' dataset shards are disjoint and cover 0..15
+    assert sorted(results[0][1] + results[1][1]) == list(range(16))
