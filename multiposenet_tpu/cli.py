@@ -169,6 +169,34 @@ def cmd_coco_eval(args):
                  result_file=args.result_file)
 
 
+def cmd_precompile(args):
+    """Warm the XLA compilation cache for every multi-scale eval shape.
+    Run once before `coco-eval` (cold remote TPU compiles are ~minutes per
+    shape; cached ones are instant with JAX_COMPILATION_CACHE_DIR set)."""
+    shapes = []
+    if args.shapes:
+        for tok in args.shapes.split(","):
+            h, w = tok.lower().split("x")
+            shapes.append((int(h), int(w)))
+    else:
+        from multiposenet_tpu.data.coco_json import COCOIndex
+        ann = os.path.join(args.coco_root,
+                           "annotations/person_keypoints_val2017.json")
+        if not os.path.isfile(ann):
+            sys.exit(f"error: annotations not found: {ann}; "
+                     "pass --shapes HxW,HxW instead")
+        gt = COCOIndex(ann)
+        ids = gt.get_img_ids(cat_ids=[1])
+        if args.max_images:
+            ids = ids[:args.max_images]
+        shapes = [(im["height"], im["width"])
+                  for i in ids for im in gt.load_imgs(i)]
+    _, ev = _load_eval(args)
+    compiled = ev.precompile(shapes, bucket=args.bucket)
+    print(f"precompiled {len(compiled)} pipeline shapes: "
+          + ", ".join(f"{h}x{w}" for h, w in compiled))
+
+
 def cmd_bench(_args):
     import bench
     bench.main()
@@ -207,6 +235,15 @@ def main(argv=None):
     pc.add_argument("--max-images", type=int, default=None)
     pc.add_argument("--result-file", default=None)
     pc.set_defaults(fn=cmd_coco_eval)
+
+    pp = sub.add_parser("precompile")
+    _common(pp)
+    pp.add_argument("--shapes", default=None,
+                    help="comma-separated HxW original image sizes "
+                         "(default: all val2017 person-image sizes)")
+    pp.add_argument("--max-images", type=int, default=None)
+    pp.add_argument("--bucket", type=int, default=64)
+    pp.set_defaults(fn=cmd_precompile)
 
     pb = sub.add_parser("bench")
     pb.set_defaults(fn=cmd_bench)

@@ -213,6 +213,52 @@ class Evaluator:
         return all_results
 
     # ------------------------------------------------------------------
+    # compile-cache warmup (docs/ROADMAP.md item 4)
+    # ------------------------------------------------------------------
+
+    def eval_shapes(self, image_shapes, bucket: int = 64):
+        """The exact set of padded (H, W) shapes coco_eval will dispatch for
+        the given original image shapes — derived by running the same
+        crop_with_factor used by _get_outputs on dummy arrays, so bucketing /
+        rounding semantics can never drift."""
+        shapes = set()
+        for h, w in image_shapes:
+            dummy = np.zeros((int(h), int(w), 3), np.uint8)
+            for m in get_multipliers(int(h), self.cfg.eval.inp_size,
+                                     self.cfg.eval.scale_search):
+                cropped, _, _ = crop_with_factor(
+                    dummy, m * int(h), factor=32, pad_val=128, bucket=bucket)
+                shapes.add(cropped.shape[:2])
+        return sorted(shapes)
+
+    def precompile(self, image_shapes, bucket: int = 64) -> List[Tuple[int, int]]:
+        """Warm the jit/compilation cache for every pipeline shape the
+        multi-scale eval will need (cold TPU compiles are minutes each; with
+        JAX_COMPILATION_CACHE_DIR set this is a one-time cost per shape set).
+
+        `image_shapes`: iterable of original (H, W) image sizes.  Returns the
+        compiled shape list.  The PRN stage is warmed too.
+        """
+        shapes = self.eval_shapes(image_shapes, bucket)
+        bs = 2 if self.cfg.eval.flip else 1   # flip rides in the same batch
+        for i, hw in enumerate(shapes):
+            logger.info("precompile %d/%d: %dx%d (batch %d)",
+                        i + 1, len(shapes), hw[0], hw[1], bs)
+            dummy = jnp.full((bs, hw[0], hw[1], 3), 128, jnp.float32)
+            jax.block_until_ready(self.pipeline(hw)(self.params, dummy))
+        # PRN pipeline (single fixed shape)
+        maxb = self.cfg.prn.max_people
+        maxp = self.cfg.peaks.max_peaks_per_joint
+        jax.block_until_ready(self.prn_pipeline()(
+            self.params,
+            jnp.zeros((NUM_J17, maxp, 2), jnp.float32),
+            jnp.full((NUM_J17, maxp), -1.0, jnp.float32),
+            jnp.zeros((NUM_J17, maxp), bool),
+            jnp.zeros((maxb, 4), jnp.float32),
+            jnp.zeros((maxb,), bool)))
+        return shapes
+
+    # ------------------------------------------------------------------
     # multi-scale COCO eval (reference tester.py:131-193, 264-316)
     # ------------------------------------------------------------------
 

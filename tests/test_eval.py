@@ -94,3 +94,72 @@ def test_joints_to_peak_arrays_capacity_and_order():
     # reference enters every peak with confidence 1
     assert score[3, 0] == 1.0 and score[3, 1] == 1.0
     assert valid.sum() == 3
+
+
+# --------------------------------------------------------------- precompile
+
+class _StubOut:
+    def __init__(self, bs, h, w):
+        import types
+        hm = np.zeros((bs, h // 4, w // 4, 18), np.float32)
+        self.heatmaps = jnp.asarray(hm)
+        self.detections = types.SimpleNamespace(
+            scores=jnp.zeros((bs, 10), jnp.float32),
+            boxes=jnp.zeros((bs, 10, 4), jnp.float32))
+
+
+def _stub_evaluator(cfg):
+    from multiposenet_tpu.engine.evaluator import Evaluator
+    ev = Evaluator.__new__(Evaluator)
+    ev.cfg = cfg
+    ev.params = None
+    ev.called = []
+
+    def pipeline(hw):
+        def run(params, batch):
+            ev.called.append((tuple(hw), batch.shape[0]))
+            return _StubOut(batch.shape[0], hw[0], hw[1])
+        return run
+
+    ev.pipeline = pipeline
+    ev.prn_pipeline = lambda: (lambda *a: jnp.zeros(()))
+    return ev
+
+
+def test_eval_shapes_predict_get_outputs_dispatch():
+    """precompile's shape derivation must match _get_outputs exactly
+    (docs/ROADMAP.md item 4): warming those shapes means the real eval
+    never triggers a cold compile."""
+    import dataclasses
+    from multiposenet_tpu.config import Config
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                      scale_search=(0.5, 1.0, 1.5),
+                                      flip=True))
+    ev = _stub_evaluator(cfg)
+    img_shapes = [(160, 224), (240, 180), (128, 128)]
+    predicted = set(ev.eval_shapes(img_shapes, bucket=64))
+
+    for h, w in img_shapes:
+        img = np.zeros((h, w, 3), np.float32)
+        mult = get_multipliers(h, cfg.eval.inp_size, cfg.eval.scale_search)
+        ev._get_outputs(mult, img, bucket=64, with_flip=True)
+    dispatched = {hw for hw, _ in ev.called}
+    assert dispatched == predicted, (dispatched, predicted)
+    # flip rides in the same batch
+    assert all(bs == 2 for _, bs in ev.called)
+
+
+def test_precompile_warms_every_shape_once():
+    import dataclasses
+    from multiposenet_tpu.config import Config
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                      scale_search=(0.5, 1.0), flip=False))
+    ev = _stub_evaluator(cfg)
+    shapes = ev.precompile([(160, 224), (160, 224), (128, 128)], bucket=64)
+    assert sorted({hw for hw, _ in ev.called}) == shapes
+    assert len(ev.called) == len(shapes)          # deduped
+    assert all(bs == 1 for _, bs in ev.called)    # no flip -> batch 1
