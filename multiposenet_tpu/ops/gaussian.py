@@ -27,6 +27,30 @@ def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def blur_matrix(n: int, sigma: float = 1.0, mode: str = "nearest",
+                truncate: float = 4.0) -> np.ndarray:
+    """The 1-D gaussian blur as a dense (n, n) operator, edge handling baked
+    in.  blur_matrix(n) @ x == gaussian_blur along that axis, EXACTLY (blur
+    is linear; 'nearest' replication only changes the operator's edge rows).
+
+    Used to fold the PRN grid blur into two small MXU matmuls right after the
+    one-hot peak contraction (engine/inference.py) — no scatter, no pad+conv.
+    """
+    k = gaussian_kernel1d(float(sigma), truncate)
+    r = (len(k) - 1) // 2
+    g = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for t, kv in enumerate(k):
+            j = i + t - r
+            if mode == "nearest":
+                j = min(max(j, 0), n - 1)
+            elif not (0 <= j < n):
+                continue
+            g[i, j] += kv
+    return g
+
+
 def gaussian_blur(
     x: jnp.ndarray,
     sigma: float = 1.0,

@@ -292,3 +292,59 @@ def test_find_peaks_plateau_and_capacity():
     ps = find_peaks_refined(jnp.asarray(hm), 0.1, max_peaks=3, upsamp_factor=1)
     assert int(np.asarray(ps.valid).sum()) == 3  # capacity-limited, top-3 kept
     assert np.all(np.asarray(ps.scores)[0, :3] >= 0.6 - 1e-6)
+
+
+def test_blur_matrix_equals_separable_gaussian_blur():
+    """blur_matrix folds the scipy-'nearest' separable blur into dense
+    operators — must match ops.gaussian.gaussian_blur exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from multiposenet_tpu.ops.gaussian import blur_matrix, gaussian_blur
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(3, 56, 36, 17).astype(np.float32)
+    ref = np.asarray(gaussian_blur(jnp.asarray(x), sigma=1.0, mode="nearest"))
+    gh = blur_matrix(56, sigma=1.0, mode="nearest")
+    gw = blur_matrix(36, sigma=1.0, mode="nearest")
+    out = np.einsum("yY,bYXc,xX->byxc", gh, x, gw)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_onehot_contraction_equals_scatter_max_blur():
+    """The scatter-free PRN grid build (engine/inference.py) must equal the
+    reference-shaped scatter-max + gaussian blur, including same-cell dedupe
+    (two peaks in one cell -> 1.0, not 2.0)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from multiposenet_tpu.ops.gaussian import blur_matrix, gaussian_blur
+
+    B, J, P, gh, gw = 4, 17, 8, 56, 36
+    rng = np.random.RandomState(1)
+    y0 = rng.randint(0, gh, (B, J, P))
+    x0 = rng.randint(0, gw, (B, J, P))
+    inside = rng.rand(B, J, P) > 0.5
+    # force a same-cell collision
+    y0[0, 0, :2] = 5; x0[0, 0, :2] = 7; inside[0, 0, :2] = True
+
+    # scatter-max + separable blur (the old formulation)
+    b_idx = np.broadcast_to(np.arange(B)[:, None, None], inside.shape)
+    j_idx = np.broadcast_to(np.arange(J)[None, :, None], inside.shape)
+    marks = np.zeros((B, gh, gw, J), np.float32)
+    np.maximum.at(marks, (b_idx.ravel(), np.where(inside, y0, 0).ravel(),
+                          np.where(inside, x0, 0).ravel(), j_idx.ravel()),
+                  inside.astype(np.float32).ravel())
+    ref = np.asarray(gaussian_blur(jnp.asarray(marks), sigma=1.0,
+                                   mode="nearest"))
+
+    # one-hot contraction + dense blur matmuls (the new formulation)
+    oh_y = jax.nn.one_hot(jnp.asarray(y0), gh, dtype=jnp.float32) \
+        * jnp.asarray(inside)[..., None]
+    oh_x = jax.nn.one_hot(jnp.asarray(x0), gw, dtype=jnp.float32)
+    m = jnp.minimum(jnp.einsum("bjpy,bjpx->bjyx", oh_y, oh_x,
+                               precision=jax.lax.Precision.HIGHEST), 1.0)
+    out = jnp.einsum("yY,bjYX,xX->byxj",
+                     jnp.asarray(blur_matrix(gh, 1.0, "nearest")), m,
+                     jnp.asarray(blur_matrix(gw, 1.0, "nearest")),
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
