@@ -5,6 +5,10 @@ heatmaps + RetinaNet heads -> anchor decode -> NMS -> heatmap peaks) on one
 chip at 480x480, the reference demo configuration
 (reference evaluate/multipose_test.py + tester.py:195-254).
 
+Activations run in bfloat16 — the TPU-native inference dtype (+21% over f32
+on v5e; parameters and parity-critical small ops stay float32, see
+docs/PERF.md).  Set MPN_BENCH_F32=1 for the float32 number.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md
@@ -30,7 +34,14 @@ def main():
     from multiposenet_tpu.models.posenet import PoseNet
     from multiposenet_tpu.engine.inference import make_full_pipeline
 
+    import dataclasses
+    import os
+
     cfg = Config()
+    if os.environ.get("MPN_BENCH_F32") != "1":
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype=jnp.bfloat16))
     model = PoseNet(cfg.model)
     size = cfg.data.inp_size
     batch = 64  # per-chip inference batch (throughput sweet spot, docs/PERF.md)

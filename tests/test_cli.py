@@ -113,3 +113,12 @@ def test_cli_errors(capsys):
         main(["test", "--testdata", "/definitely/missing"])
     with pytest.raises(SystemExit):
         main(["coco-eval", "--coco-root", "/definitely/missing"])
+
+
+def test_build_config_bf16_flag(coco_tree):
+    import jax.numpy as jnp
+    a = Args()
+    a.coco_root = coco_tree
+    assert build_config(a, "keypoint").model.compute_dtype == jnp.float32
+    a.bf16 = True
+    assert build_config(a, "keypoint").model.compute_dtype == jnp.bfloat16
