@@ -154,7 +154,51 @@ def main():
         if i % 500 == 0 or i == (args.det_steps or args.steps) - 1:
             logger.info("detection step %d loss %.5f", i, float(logs["loss"]))
 
-    variables = {"params": dstate.params, "batch_stats": dstate.batch_stats}
+    # ---- stage 3: PRN (reference multipose_prn_train.py recipe) --------
+    gh, gw = cfg.model.prn_height, cfg.model.prn_width
+    thr = cfg.prn.in_thres
+    weights_l, labels_l = [], []
+    for b in range(4):
+        # internal 17-joint order = 18-joint order minus the neck (row 1)
+        persons17 = [np.delete(joints[b, p, :, :2], 1, axis=0)
+                     for p in range(2)]
+        for p in range(2):
+            j = joints[b, p]
+            x1, y1 = j[:, 0].min() - 4, j[:, 1].min() - 4
+            bw = j[:, 0].max() + 4 - x1
+            bh = j[:, 1].max() + 4 - y1
+            xs, ys = gw / np.ceil(bw), gh / np.ceil(bh)
+            weights = np.zeros((gh, gw, 17), np.float32)
+            label = np.zeros((gh, gw, 17), np.float32)
+            for q, pj in enumerate(persons17):
+                for t in range(17):
+                    kx, ky = pj[t]
+                    if (x1 - bw * thr < kx < x1 + bw * (1 + thr)
+                            and y1 - bh * thr < ky < y1 + bh * (1 + thr)):
+                        gx = min(max(int((kx - x1) * xs), 0), gw - 1)
+                        gy = min(max(int((ky - y1) * ys), 0), gh - 1)
+                        weights[gy, gx, t] = 1.0
+                        if q == p:
+                            label[gy, gx, t] = 1.0
+            weights_l.append(weights)
+            labels_l.append(label)
+    prn_batch = {"weights_marks": jnp.asarray(np.stack(weights_l)),
+                 "label_marks": jnp.asarray(np.stack(labels_l))}
+
+    pstate, ptx, pmask = create_train_state(
+        model, cfg, jax.random.PRNGKey(2), (size, size), "prn")
+    pstate = pstate.replace(params=dstate.params,
+                            batch_stats=dstate.batch_stats)
+    ptrain, _ = STEP_FACTORIES["prn"](model, cfg, ptx, pmask)
+    prng = jax.random.PRNGKey(3)
+    plr = jnp.asarray(1e-3)  # reference PRN lr (multipose_prn_train.py:79)
+    for i in range(args.det_steps or args.steps):
+        prng, sub = jax.random.split(prng)
+        pstate, logs = ptrain(pstate, prn_batch, plr, sub)
+        if i % 500 == 0 or i == (args.det_steps or args.steps) - 1:
+            logger.info("prn step %d loss %.5f", i, float(logs["loss"]))
+
+    variables = {"params": pstate.params, "batch_stats": pstate.batch_stats}
 
     if args.diag:
         from multiposenet_tpu.engine.inference import make_full_pipeline
