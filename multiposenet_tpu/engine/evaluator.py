@@ -84,11 +84,12 @@ class Evaluator:
 
     # ------------------------------------------------------------------
 
-    def pipeline(self, hw: Tuple[int, int]):
-        hw = (int(hw[0]), int(hw[1]))
-        if hw not in self._pipelines:
-            self._pipelines[hw] = make_full_pipeline(self.model, self.cfg, hw)
-        return self._pipelines[hw]
+    def pipeline(self, hw: Tuple[int, int], with_peaks: bool = True):
+        key = (int(hw[0]), int(hw[1]), with_peaks)
+        if key not in self._pipelines:
+            self._pipelines[key] = make_full_pipeline(
+                self.model, self.cfg, key[:2], with_peaks=with_peaks)
+        return self._pipelines[key]
 
     def prn_pipeline(self):
         if self._prn_pipeline is None:
@@ -245,7 +246,8 @@ class Evaluator:
             logger.info("precompile %d/%d: %dx%d (batch %d)",
                         i + 1, len(shapes), hw[0], hw[1], bs)
             dummy = jnp.full((bs, hw[0], hw[1], 3), 128, jnp.float32)
-            jax.block_until_ready(self.pipeline(hw)(self.params, dummy))
+            jax.block_until_ready(
+                self.pipeline(hw, with_peaks=False)(self.params, dummy))
         # PRN pipeline (single fixed shape)
         maxb = self.cfg.prn.max_people
         maxp = self.cfg.peaks.max_peaks_per_joint
@@ -284,7 +286,9 @@ class Evaluator:
                 cropped_f, _, _ = crop_with_factor(
                     img_f, inp_size, factor=32, pad_val=128, bucket=bucket)
                 batch.append(cropped_f[:, :, ::-1])
-            out = self.pipeline(cropped.shape[:2])(
+            # heatmaps are averaged and peak-hunted on host (variable res);
+            # skip the device peak finder per scale
+            out = self.pipeline(cropped.shape[:2], with_peaks=False)(
                 self.params, jnp.asarray(np.stack(batch)))
             hms = np.asarray(out.heatmaps)
             heat_avg += resize_heatmap_to_original(

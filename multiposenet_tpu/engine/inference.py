@@ -53,10 +53,14 @@ class PipelineOutput(NamedTuple):
 
 
 def make_full_pipeline(model: PoseNet, cfg: Config, image_hw: Tuple[int, int],
-                       preprocess: bool = True):
+                       preprocess: bool = True, with_peaks: bool = True):
     """Build a jitted image -> (heatmaps, detections, peaks) function.
 
     Static over the input (H, W); anchors are baked in as constants.
+    `with_peaks=False` skips the device peak finder (peaks=None in the
+    output) — the multi-scale eval path averages heatmaps on the host and
+    finds peaks there (reference tester.py:299-305), so computing device
+    peaks per scale would be wasted work.
     """
     anchors = jnp.asarray(anchors_for_shape(tuple(image_hw), cfg.anchors))
     h, w = image_hw
@@ -83,11 +87,14 @@ def make_full_pipeline(model: PoseNet, cfg: Config, image_hw: Tuple[int, int],
                                     max_out=det.max_detections,
                                     score_thresh=det.score_thresh)
 
-        peaks = jax.vmap(
-            lambda hm: find_peaks_refined(
-                hm, thre1=pk.thre1, max_peaks=pk.max_peaks_per_joint,
-                upsamp_factor=stride, win_size=pk.win_size, refine=pk.refine)
-        )(predict_keypoint)
+        peaks = None
+        if with_peaks:
+            peaks = jax.vmap(
+                lambda hm: find_peaks_refined(
+                    hm, thre1=pk.thre1, max_peaks=pk.max_peaks_per_joint,
+                    upsamp_factor=stride, win_size=pk.win_size,
+                    refine=pk.refine)
+            )(predict_keypoint)
         return PipelineOutput(predict_keypoint, dets, peaks)
 
     return run

@@ -115,7 +115,8 @@ def _stub_evaluator(cfg):
     ev.params = None
     ev.called = []
 
-    def pipeline(hw):
+    def pipeline(hw, with_peaks=True):
+        assert not with_peaks, "multi-scale eval must skip device peaks"
         def run(params, batch):
             ev.called.append((tuple(hw), batch.shape[0]))
             return _StubOut(batch.shape[0], hw[0], hw[1])
@@ -163,3 +164,31 @@ def test_precompile_warms_every_shape_once():
     assert sorted({hw for hw, _ in ev.called}) == shapes
     assert len(ev.called) == len(shapes)          # deduped
     assert all(bs == 1 for _, bs in ev.called)    # no flip -> batch 1
+
+
+def test_full_pipeline_with_peaks_switch_shapes():
+    """with_peaks=False must drop only the peak outputs (shape-level check,
+    no compile)."""
+    import jax
+    from multiposenet_tpu.config import Config, ModelConfig, DataConfig
+    from multiposenet_tpu.engine.inference import make_full_pipeline
+    from multiposenet_tpu.models.posenet import PoseNet
+
+    cfg = Config(model=ModelConfig(backbone="resnet50"),
+                 data=DataConfig(inp_size=64))
+    model = PoseNet(cfg.model)
+    params = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros((1, 64, 64, 3)),
+                             jnp.zeros((1, cfg.model.prn_height,
+                                        cfg.model.prn_width, 17)),
+                             method=PoseNet.init_all),
+        jax.random.PRNGKey(0))
+    imgs = jax.ShapeDtypeStruct((2, 64, 64, 3), jnp.uint8)
+    full = jax.eval_shape(make_full_pipeline(model, cfg, (64, 64)).__wrapped__,
+                          params, imgs)
+    lean = jax.eval_shape(
+        make_full_pipeline(model, cfg, (64, 64), with_peaks=False).__wrapped__,
+        params, imgs)
+    assert full.peaks is not None and lean.peaks is None
+    assert lean.heatmaps.shape == full.heatmaps.shape == (2, 16, 16, 18)
+    assert lean.detections.boxes.shape == full.detections.boxes.shape
