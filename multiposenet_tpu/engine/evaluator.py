@@ -277,6 +277,12 @@ class Evaluator:
         flip_avg = np.zeros_like(heat_avg) if with_flip else None
         bbox_all = []
         img_f = img[:, ::-1, :] if with_flip else None
+
+        # phase 1: dispatch EVERY scale (jax dispatch is async — the device
+        # computes scale s while the host crops/pads scale s+1).  Heatmaps
+        # are averaged and peak-hunted on host (variable res), so the device
+        # peak finder is skipped per scale.
+        pending = []
         for m in multipliers:
             inp_size = m * img.shape[0]
             cropped, im_scale, real_shape = crop_with_factor(
@@ -286,21 +292,25 @@ class Evaluator:
                 cropped_f, _, _ = crop_with_factor(
                     img_f, inp_size, factor=32, pad_val=128, bucket=bucket)
                 batch.append(cropped_f[:, :, ::-1])
-            # heatmaps are averaged and peak-hunted on host (variable res);
-            # skip the device peak finder per scale
             out = self.pipeline(cropped.shape[:2], with_peaks=False)(
                 self.params, jnp.asarray(np.stack(batch)))
-            hms = np.asarray(out.heatmaps)
+            pending.append((out, cropped.shape, real_shape, im_scale))
+
+        # phase 2: one batched fetch, then host-side resize/average
+        fetched = jax.device_get(
+            [(o.heatmaps, o.detections.scores, o.detections.boxes)
+             for o, *_ in pending])
+        for (hms, dscores, dboxes), (_, cropped_shape, real_shape, im_scale) \
+                in zip(fetched, pending):
             heat_avg += resize_heatmap_to_original(
-                hms[0], cropped.shape, real_shape, img.shape) / len(multipliers)
+                hms[0], cropped_shape, real_shape,
+                img.shape) / len(multipliers)
             if with_flip:
                 flip_avg += resize_heatmap_to_original(
-                    hms[1], cropped.shape, real_shape, img.shape) / len(multipliers)
-
-            dscores = np.asarray(out.detections.scores)[0]
-            dboxes = np.asarray(out.detections.boxes)[0]
-            keep = dscores > self.cfg.detection.test_score_thresh
-            bbox_all.append((dboxes[keep] / im_scale).tolist())
+                    hms[1], cropped_shape, real_shape,
+                    img.shape) / len(multipliers)
+            keep = dscores[0] > self.cfg.detection.test_score_thresh
+            bbox_all.append((dboxes[0][keep] / im_scale).tolist())
         return heat_avg, bbox_all, flip_avg
 
     def coco_eval(self, coco_root: Optional[str] = None,
