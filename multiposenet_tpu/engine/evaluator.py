@@ -313,6 +313,28 @@ class Evaluator:
             bbox_all.append((dboxes[0][keep] / im_scale).tolist())
         return heat_avg, bbox_all, flip_avg
 
+    def _finish_image(self, orig_heat, flip_heat, orig_bbox, img_h,
+                      name, img_id) -> List[Dict]:
+        """Host post-processing for one image (reference tester.py:151-177):
+        flip averaging, peak finding, PRN grouping, COCO reorder."""
+        cfg = self.cfg
+        if cfg.eval.flip:
+            heat = average_flip_heat(orig_heat, flip_heat)
+        else:
+            heat = orig_heat
+        jl = joint_list_from_heatmaps(heat[:, :, :18], img_h, 1.0,
+                                      cfg.peaks.thre1)
+        joints = drop_neck(jl)
+        # detections from scale 1.0 only (reference tester.py:169)
+        scale1 = min(1, len(orig_bbox) - 1)
+        prn_res = self.prn_process(joints, orig_bbox[scale1], name, img_id)
+        out = []
+        for r in prn_res:
+            r["keypoints"] = to_coco_order(r["keypoints"])
+            r.pop("file_name", None)
+            out.append(r)
+        return out
+
     def coco_eval(self, coco_root: Optional[str] = None,
                   ann_file: Optional[str] = None, img_dir: Optional[str] = None,
                   max_images: Optional[int] = None,
@@ -328,32 +350,31 @@ class Evaluator:
         if max_images:
             img_ids = img_ids[:max_images]
 
+        # pipeline images: the device/scale dispatches for image n+1 run
+        # while a background worker does image n's host-bound post-processing
+        # (flip averaging, scipy peak hunt on full-res maps, PRN grouping).
+        # Depth is bounded so at most 2 images' full-res heatmaps are alive.
+        from concurrent.futures import ThreadPoolExecutor
         results = []
-        for n, img_id in enumerate(img_ids):
-            name = gt.load_imgs(img_id)[0]["file_name"]
-            ori = cv2.imread(os.path.join(img_dir, name)).astype(np.float32)
-            mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
-                                   cfg.eval.scale_search)
-
-            orig_heat, orig_bbox, flip_heat = self._get_outputs(
-                mult, ori, with_flip=cfg.eval.flip)
-            if cfg.eval.flip:
-                heat = average_flip_heat(orig_heat, flip_heat)
-            else:
-                heat = orig_heat
-
-            jl = joint_list_from_heatmaps(heat[:, :, :18], ori.shape[0], 1.0,
-                                          cfg.peaks.thre1)
-            joints = drop_neck(jl)
-            # detections from scale 1.0 only (reference tester.py:169)
-            scale1 = min(1, len(orig_bbox) - 1)
-            prn_res = self.prn_process(joints, orig_bbox[scale1], name, img_id)
-            for r in prn_res:
-                r["keypoints"] = to_coco_order(r["keypoints"])
-                r.pop("file_name", None)
-                results.append(r)
-            if (n + 1) % 50 == 0:
-                logger.info("coco_eval %d/%d images", n + 1, len(img_ids))
+        futures = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for n, img_id in enumerate(img_ids):
+                name = gt.load_imgs(img_id)[0]["file_name"]
+                ori = cv2.imread(
+                    os.path.join(img_dir, name)).astype(np.float32)
+                mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
+                                       cfg.eval.scale_search)
+                orig_heat, orig_bbox, flip_heat = self._get_outputs(
+                    mult, ori, with_flip=cfg.eval.flip)
+                futures.append(pool.submit(
+                    self._finish_image, orig_heat, flip_heat, orig_bbox,
+                    ori.shape[0], name, img_id))
+                while len(futures) > 2:
+                    results.extend(futures.pop(0).result())
+                if (n + 1) % 50 == 0:
+                    logger.info("coco_eval %d/%d images", n + 1, len(img_ids))
+            for f in futures:
+                results.extend(f.result())
 
         if result_file:
             with open(result_file, "w") as f:
