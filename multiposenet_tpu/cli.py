@@ -98,12 +98,14 @@ def make_loaders(cfg, subnet: str, training: bool):
         ds = PRNDataset(COCOIndex(ann), cfg)
 
     # Multi-host: cfg.train.batch_size is the GLOBAL batch; each host loads
-    # a disjoint shard sized batch/process_count.  Validation stays unsharded
-    # (every host sees the same batches, so plateau-LR decisions agree).
+    # a disjoint shard sized batch/process_count.  Validation is sharded the
+    # same way (deterministic order) — the jitted val_step computes the loss
+    # over the GLOBAL mesh-sharded batch, so every host still sees the same
+    # value and plateau-LR decisions stay in lockstep.
     from multiposenet_tpu.parallel import distributed as dist
-    if training and dist.process_count() > 1:
+    if dist.process_count() > 1:
         return Loader(ds, dist.per_host_batch(cfg.train.batch_size),
-                      shuffle=True, num_workers=cfg.data.num_workers,
+                      shuffle=training, num_workers=cfg.data.num_workers,
                       shard_id=dist.process_index(),
                       num_shards=dist.process_count())
     return Loader(ds, cfg.train.batch_size, shuffle=training,
@@ -113,7 +115,8 @@ def make_loaders(cfg, subnet: str, training: bool):
 def cmd_train(args):
     from multiposenet_tpu.engine.trainer import Trainer
     from multiposenet_tpu.parallel import distributed as dist
-    dist.initialize(args.coordinator)
+    dist.initialize(args.coordinator, num_processes=args.num_processes,
+                    process_id=args.process_id)
     cfg = build_config(args, args.subnet)
     train = make_loaders(cfg, args.subnet, True)
     val = make_loaders(cfg, args.subnet, False)
@@ -172,7 +175,7 @@ def cmd_coco_eval(args):
         sys.exit(f"error: annotations not found: {ann}")
     _, ev = _load_eval(args)
     ev.coco_eval(max_images=args.max_images,
-                 result_file=args.result_file)
+                 result_file=args.result_file, bucket=args.bucket)
 
 
 def cmd_precompile(args):
@@ -220,7 +223,13 @@ def main(argv=None):
                     help="params-only checkpoint for staged training")
     pt.add_argument("--coordinator", default=None,
                     help="host:port of process 0 for multi-host training "
-                         "(default: auto-detect TPU pod / SLURM env)")
+                         "(with MPN_DISTRIBUTED=1, TPU pod / SLURM env is "
+                         "auto-detected instead)")
+    pt.add_argument("--num-processes", type=int, default=None,
+                    help="total hosts (required with --coordinator outside "
+                         "auto-detectable clusters)")
+    pt.add_argument("--process-id", type=int, default=None,
+                    help="this host's index (see --num-processes)")
     pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("val")
@@ -240,6 +249,9 @@ def main(argv=None):
     _common(pc)
     pc.add_argument("--max-images", type=int, default=None)
     pc.add_argument("--result-file", default=None)
+    pc.add_argument("--bucket", type=int, default=64,
+                    help="shape-bucketing granularity; must match the value "
+                         "used with `precompile`")
     pc.set_defaults(fn=cmd_coco_eval)
 
     pp = sub.add_parser("precompile")

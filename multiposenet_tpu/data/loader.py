@@ -37,8 +37,9 @@ class Loader:
         self.epoch = 0
 
     def _shard_size(self):
-        # ceil-div then truncate so every shard has the SAME length (hosts
-        # must run the same number of steps or collectives deadlock)
+        # floor-div: every shard gets the SAME length, dropping up to
+        # num_shards-1 trailing samples (hosts must run the same number of
+        # steps or collectives deadlock)
         return len(self.dataset) // self.num_shards
 
     def __len__(self):

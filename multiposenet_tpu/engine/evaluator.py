@@ -79,8 +79,9 @@ class Evaluator:
         self.cfg = cfg
         self.model = model or PoseNet(cfg.model)
         self.params = params
-        self._pipelines: Dict[Tuple[int, int], callable] = {}
+        self._pipelines: Dict[Tuple[int, int, bool], callable] = {}
         self._prn_pipeline = None
+        self._assign_jit = None
 
     # ------------------------------------------------------------------
 
@@ -95,6 +96,14 @@ class Evaluator:
         if self._prn_pipeline is None:
             self._prn_pipeline = make_prn_pipeline(self.model, self.cfg)
         return self._prn_pipeline
+
+    def assign_fn(self):
+        """Cached jit of the device grouping kernel — a fresh jax.jit wrapper
+        per image would retrace every call."""
+        if self._assign_jit is None:
+            from multiposenet_tpu.ops.grouping import assign_peaks
+            self._assign_jit = jax.jit(assign_peaks)
+        return self._assign_jit
 
     # ------------------------------------------------------------------
 
@@ -124,10 +133,9 @@ class Evaluator:
             jnp.asarray(box_valid))
 
         if self.cfg.prn.device_grouping:
-            from multiposenet_tpu.ops.grouping import assign_peaks
             from multiposenet_tpu.eval.grouping import format_assignment
-            a = jax.jit(assign_peaks)(table, inside, x0, y0, prn_out,
-                                      jnp.asarray(boxes_pad))
+            a = self.assign_fn()(table, inside, x0, y0, prn_out,
+                                 jnp.asarray(boxes_pad))
             # active_any must consider only the real (non-padded) boxes
             active = np.asarray(a.active)[:nb]
             return format_assignment(
@@ -248,16 +256,22 @@ class Evaluator:
             dummy = jnp.full((bs, hw[0], hw[1], 3), 128, jnp.float32)
             jax.block_until_ready(
                 self.pipeline(hw, with_peaks=False)(self.params, dummy))
-        # PRN pipeline (single fixed shape)
+        # PRN pipeline (single fixed shape) + the device grouping kernel
         maxb = self.cfg.prn.max_people
         maxp = self.cfg.peaks.max_peaks_per_joint
-        jax.block_until_ready(self.prn_pipeline()(
+        boxes0 = jnp.zeros((maxb, 4), jnp.float32)
+        prn_out_full = self.prn_pipeline()(
             self.params,
             jnp.zeros((NUM_J17, maxp, 2), jnp.float32),
             jnp.full((NUM_J17, maxp), -1.0, jnp.float32),
             jnp.zeros((NUM_J17, maxp), bool),
-            jnp.zeros((maxb, 4), jnp.float32),
-            jnp.zeros((maxb,), bool)))
+            boxes0,
+            jnp.zeros((maxb,), bool))
+        jax.block_until_ready(prn_out_full)
+        if self.cfg.prn.device_grouping:
+            table, inside, prn_out, x0, y0 = prn_out_full
+            jax.block_until_ready(
+                self.assign_fn()(table, inside, x0, y0, prn_out, boxes0))
         return shapes
 
     # ------------------------------------------------------------------
@@ -338,7 +352,8 @@ class Evaluator:
     def coco_eval(self, coco_root: Optional[str] = None,
                   ann_file: Optional[str] = None, img_dir: Optional[str] = None,
                   max_images: Optional[int] = None,
-                  result_file: Optional[str] = None) -> Dict[str, float]:
+                  result_file: Optional[str] = None,
+                  bucket: int = 64) -> Dict[str, float]:
         cfg = self.cfg
         coco_root = coco_root or cfg.data.coco_root
         ann_file = ann_file or os.path.join(
@@ -365,7 +380,7 @@ class Evaluator:
                 mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
                                        cfg.eval.scale_search)
                 orig_heat, orig_bbox, flip_heat = self._get_outputs(
-                    mult, ori, with_flip=cfg.eval.flip)
+                    mult, ori, bucket=bucket, with_flip=cfg.eval.flip)
                 futures.append(pool.submit(
                     self._finish_image, orig_heat, flip_heat, orig_bbox,
                     ori.shape[0], name, img_id))

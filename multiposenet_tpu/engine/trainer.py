@@ -132,7 +132,21 @@ class Trainer:
                             # mid-epoch (step/preemption) ckpt: the epoch it
                             # was taken in did not finish — re-run it
                             self.last_epoch -= 1
-            logger.info("resumed from %s (epoch %d)", resume, self.last_epoch)
+            # keep the step-ckpt name sequence monotonic across resumes:
+            # without this, post-resume ckpt_{e}_s{N} names restart at low N,
+            # making latest_checkpoint() prefer a STALE pre-preemption ckpt
+            # and pruning evict the newest one
+            self.global_step = int(self.state.step)
+            logger.info("resumed from %s (epoch %d, step %d)", resume,
+                        self.last_epoch, self.global_step)
+
+        if dist.process_count() > 1:
+            # multi-host: checkpoints are written by the primary only; if
+            # save_dir is not on a shared filesystem the other hosts restored
+            # nothing (or something older).  Broadcast process 0's state so
+            # the 'replicated' placement below is actually replicated.
+            from jax.experimental import multihost_utils
+            self.state = multihost_utils.broadcast_one_to_all(self.state)
 
         self.state = jax.device_put(self.state, replicated(self.mesh))
         factory = STEP_FACTORIES[self.subnet]

@@ -34,8 +34,13 @@ def blur_matrix(n: int, sigma: float = 1.0, mode: str = "nearest",
     in.  blur_matrix(n) @ x == gaussian_blur along that axis, EXACTLY (blur
     is linear; 'nearest' replication only changes the operator's edge rows).
 
-    Used to fold the PRN grid blur into two small MXU matmuls right after the
-    one-hot peak contraction (engine/inference.py) — no scatter, no pad+conv.
+    Utility for expressing the blur as matmuls.  NOTE: the PRN grid build in
+    engine/inference.py deliberately does NOT use it — on v5e the dense-
+    matmul formulation measured >10x slower than scatter-max + separable
+    conv (tiny matrices pad terribly onto 128x128 MXU tiles; see the
+    equivalence tests in tests/test_ops.py and docs/ROADMAP.md item 5).
+
+    Returned array is read-only (lru_cache shares one instance).
     """
     k = gaussian_kernel1d(float(sigma), truncate)
     r = (len(k) - 1) // 2
@@ -48,6 +53,7 @@ def blur_matrix(n: int, sigma: float = 1.0, mode: str = "nearest",
             elif not (0 <= j < n):
                 continue
             g[i, j] += kv
+    g.flags.writeable = False
     return g
 
 

@@ -109,9 +109,12 @@ class _StubOut:
 
 
 def _stub_evaluator(cfg):
+    import dataclasses
     from multiposenet_tpu.engine.evaluator import Evaluator
     ev = Evaluator.__new__(Evaluator)
-    ev.cfg = cfg
+    # host grouping so precompile() skips warming the device grouping kernel
+    ev.cfg = dataclasses.replace(
+        cfg, prn=dataclasses.replace(cfg.prn, device_grouping=False))
     ev.params = None
     ev.called = []
 

@@ -74,3 +74,6 @@ def test_auto_resume_roundtrip(tmp_path):
     t2 = Trainer(cfg, train_data=loader, val_data=loader)
     assert t2.last_epoch == 1
     assert int(t2.state.step) == int(t.state.step)
+    # global_step must resync from the restored state so step-suffixed ckpt
+    # names stay monotonic across resumes (stale-resume regression)
+    assert t2.global_step == int(t2.state.step)
