@@ -13,7 +13,6 @@ from typing import List, Sequence, Tuple
 
 import cv2
 import numpy as np
-from scipy.ndimage import maximum_filter
 
 # L/R channel swap for flip averaging, 18-joint order (tester.py:326-327)
 SWAP_HEAT_18 = [0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10, 15, 14, 17, 16]
@@ -84,8 +83,38 @@ def average_flip_heat(normal_heat: np.ndarray, flipped_heat: np.ndarray
 _CROSS = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool)
 
 
+def local_max_cross(hm: np.ndarray) -> np.ndarray:
+    """(H, W, C) -> bool peak mask over ALL channels in one vectorized pass.
+
+    Exactly `maximum_filter(m, footprint=cross) == m` per channel (reference
+    joint_utils.py:28): a pixel is a peak iff >= its 4-neighbors; scipy's
+    'reflect' boundary makes out-of-range neighbors equal the edge pixel,
+    which edge-padding reproduces.  ~10x faster than 18 scipy filter calls.
+    """
+    p = np.pad(hm, ((1, 1), (1, 1)) + ((0, 0),) * (hm.ndim - 2), mode="edge")
+    c = p[1:-1, 1:-1]
+    return ((c >= p[:-2, 1:-1]) & (c >= p[2:, 1:-1])
+            & (c >= p[1:-1, :-2]) & (c >= p[1:-1, 2:]))
+
+
 def _compute_resized_coords(coords, factor):
     return (np.asarray(coords, float) + 0.5) * factor - 0.5
+
+
+def _peak_sites(heatmaps: np.ndarray, thre1: float):
+    """Sparse peak detection: gather the 4 neighbors only at above-threshold
+    pixels instead of filtering the whole map (~10x less work than dense
+    maximum_filter; typically <1% of pixels clear thre1).  Returns (ys, xs,
+    cs) in y-major order per channel — identical ordering and edge semantics
+    (clamp == scipy 'reflect' at distance 1) to the dense formulation."""
+    h, w, _ = heatmaps.shape
+    ys, xs, cs = np.nonzero(heatmaps > thre1)
+    v = heatmaps[ys, xs, cs]
+    keep = ((v >= heatmaps[np.maximum(ys - 1, 0), xs, cs])
+            & (v >= heatmaps[np.minimum(ys + 1, h - 1), xs, cs])
+            & (v >= heatmaps[ys, np.maximum(xs - 1, 0), cs])
+            & (v >= heatmaps[ys, np.minimum(xs + 1, w - 1), cs]))
+    return ys[keep], xs[keep], cs[keep]
 
 
 def find_peaks_np(heatmaps: np.ndarray, thre1: float = 0.1,
@@ -94,12 +123,13 @@ def find_peaks_np(heatmaps: np.ndarray, thre1: float = 0.1,
     """Reference joint_utils.NMS transcription: per joint, rows
     [x, y, score, id] at the upsampled resolution."""
     num_j = heatmaps.shape[2]
+    pys, pxs, pcs = _peak_sites(heatmaps, thre1)
     out = []
     cnt = 0
     for j in range(num_j):
         m = heatmaps[:, :, j]
-        peaks_binary = (maximum_filter(m, footprint=_CROSS) == m) & (m > thre1)
-        coords = np.array(np.nonzero(peaks_binary)[::-1]).T  # [x, y]
+        sel = pcs == j
+        coords = np.stack([pxs[sel], pys[sel]], axis=1)  # [x, y]
         rows = np.zeros((len(coords), 4))
         for i, peak in enumerate(coords):
             if refine:

@@ -195,3 +195,62 @@ def test_full_pipeline_with_peaks_switch_shapes():
     assert full.peaks is not None and lean.peaks is None
     assert lean.heatmaps.shape == full.heatmaps.shape == (2, 16, 16, 18)
     assert lean.detections.boxes.shape == full.detections.boxes.shape
+
+
+def test_local_max_cross_matches_scipy_exactly():
+    """The vectorized peak mask must equal maximum_filter(cross)==m per
+    channel, including ties and edges (scipy 'reflect' boundary)."""
+    from scipy.ndimage import maximum_filter
+    from multiposenet_tpu.eval.multiscale import _CROSS, local_max_cross
+
+    rng = np.random.RandomState(0)
+    # quantized values force plenty of exact ties
+    hm = (rng.randint(0, 4, (37, 29, 6)) / 3.0).astype(np.float32)
+    hm[0, :, 0] = 1.0  # edge plateaus
+    ours = local_max_cross(hm)
+    for j in range(hm.shape[2]):
+        ref = maximum_filter(hm[:, :, j], footprint=_CROSS) == hm[:, :, j]
+        np.testing.assert_array_equal(ours[:, :, j], ref, err_msg=f"ch {j}")
+
+
+def test_find_peaks_np_matches_scipy_reference():
+    """Sparse site detection must reproduce the scipy maximum_filter
+    formulation row-for-row (values quantized to force ties; peaks on
+    edges included)."""
+    import cv2
+    from scipy.ndimage import maximum_filter
+    from multiposenet_tpu.eval.multiscale import (
+        _CROSS, _compute_resized_coords, find_peaks_np)
+
+    def reference(heatmaps, thre1, upsamp_factor):
+        out, cnt = [], 0
+        for j in range(heatmaps.shape[2]):
+            m = heatmaps[:, :, j]
+            pb = (maximum_filter(m, footprint=_CROSS) == m) & (m > thre1)
+            coords = np.array(np.nonzero(pb)[::-1]).T
+            rows = np.zeros((len(coords), 4))
+            for i, peak in enumerate(coords):
+                x_min, y_min = np.maximum(0, peak - 2)
+                x_max, y_max = np.minimum(np.array(m.T.shape) - 1, peak + 2)
+                patch = m[y_min:y_max + 1, x_min:x_max + 1]
+                patch = cv2.resize(patch, None, fx=upsamp_factor,
+                                   fy=upsamp_factor,
+                                   interpolation=cv2.INTER_CUBIC)
+                loc = np.unravel_index(patch.argmax(), patch.shape)
+                center = _compute_resized_coords(
+                    peak[::-1] - [y_min, x_min], upsamp_factor)
+                refined = loc - center
+                rows[i] = tuple(int(round(v)) for v in _compute_resized_coords(
+                    peak, upsamp_factor) + refined[::-1]) + (patch[loc], cnt)
+                cnt += 1
+            out.append(rows)
+        return out
+
+    rng = np.random.RandomState(5)
+    hm = (rng.randint(0, 8, (33, 41, 5)) / 7.0).astype(np.float32)
+    hm[0, 7, 1] = 1.0   # edge peak
+    hm[32, 40, 2] = 1.0  # corner peak
+    got = find_peaks_np(hm, thre1=0.3, upsamp_factor=4.0)
+    want = reference(hm, thre1=0.3, upsamp_factor=4.0)
+    for j in range(5):
+        np.testing.assert_array_equal(got[j], want[j], err_msg=f"joint {j}")
