@@ -174,6 +174,10 @@ def cmd_coco_eval(args):
     if not os.path.isfile(ann):
         sys.exit(f"error: annotations not found: {ann}")
     _, ev = _load_eval(args)
+    if args.host_resize:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
+                                             device_resize=False))
     ev.coco_eval(max_images=args.max_images,
                  result_file=args.result_file, bucket=args.bucket)
 
@@ -252,6 +256,10 @@ def main(argv=None):
     pc.add_argument("--bucket", type=int, default=64,
                     help="shape-bucketing granularity; must match the value "
                          "used with `precompile`")
+    pc.add_argument("--host-resize", action="store_true",
+                    help="resize/average multi-scale heatmaps with cv2 on "
+                         "the host (reference-exact chain) instead of the "
+                         "cv2-matching on-device matmul path")
     pc.set_defaults(fn=cmd_coco_eval)
 
     pp = sub.add_parser("precompile")

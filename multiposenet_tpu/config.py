@@ -166,6 +166,9 @@ class EvalConfig:
     inp_size: int = 480
     scale_search: Tuple[float, ...] = (0.5, 1.0, 1.5, 2.0, 2.5)
     flip: bool = True
+    # resize+average multi-scale heatmaps on device (cv2-exact bicubic as
+    # MXU matmuls, ops/resize.py); False = reference cv2 chain on host
+    device_resize: bool = True
     testdata_dir: str = "./demo/test_images/"
     testresult_dir: str = "./demo/output/"
     write_image: bool = False

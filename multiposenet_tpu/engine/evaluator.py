@@ -30,6 +30,7 @@ from multiposenet_tpu.engine.inference import (
 from multiposenet_tpu.eval.cocoeval import KeypointEval
 from multiposenet_tpu.eval.grouping import group_peaks, to_coco_order
 from multiposenet_tpu.eval.multiscale import (
+    SWAP_HEAT_18,
     average_flip_heat,
     crop_with_factor,
     get_multipliers,
@@ -82,6 +83,8 @@ class Evaluator:
         self._pipelines: Dict[Tuple[int, int, bool], callable] = {}
         self._prn_pipeline = None
         self._assign_jit = None
+        self._accum_jit = None
+        self._fold_jit = None
 
     # ------------------------------------------------------------------
 
@@ -104,6 +107,38 @@ class Evaluator:
             from multiposenet_tpu.ops.grouping import assign_peaks
             self._assign_jit = jax.jit(assign_peaks)
         return self._assign_jit
+
+    def accum_fn(self):
+        """Cached jit of the device resize+accumulate step (one compile per
+        (scale-bucket, orig-bucket) shape pair): two cv2-exact bicubic
+        matmuls (ops/resize.py) + running sum, keeping the whole multi-scale
+        heatmap average on the TPU."""
+        if self._accum_jit is None:
+            @jax.jit
+            def accum(avg, hms, rh, rwt):
+                r = jnp.einsum("oh,bhwc,wx->boxc", rh, hms, rwt,
+                               precision=jax.lax.Precision.HIGHEST)
+                return avg + r
+            self._accum_jit = accum
+        return self._accum_jit
+
+    def fold_fn(self):
+        """Cached jit of the final fold: crop the padded running sum to the
+        original resolution, divide by #scales, and (with flip) average in
+        the un-flipped, channel-swapped mirror map (reference
+        tester.py:318-331) — so only ONE (H, W, 18) map leaves the device."""
+        if self._fold_jit is None:
+            import functools
+            swap = jnp.asarray(SWAP_HEAT_18)
+
+            @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+            def fold(avg, h, w, with_flip, inv_n):
+                v = avg[:, :h, :w, :] * inv_n
+                if with_flip:
+                    return (v[0] + v[1, :, ::-1, :][:, :, swap]) / 2.0
+                return v[0]
+            self._fold_jit = fold
+        return self._fold_jit
 
     # ------------------------------------------------------------------
 
@@ -203,7 +238,9 @@ class Evaluator:
             img = cv2.imread(os.path.join(testdata_dir, name))
             if img is None:
                 continue
-            results, heatmaps = self.run_image(img.astype(np.float32), name)
+            # uint8 end-to-end (the reference resizes the uint8 image and
+            # normalizes after, tester.py:203-209) — also 4x fewer H2D bytes
+            results, heatmaps = self.run_image(img, name)
             all_results.extend(results)
             if cfg.write_image:
                 os.makedirs(testresult_dir, exist_ok=True)
@@ -253,9 +290,37 @@ class Evaluator:
         for i, hw in enumerate(shapes):
             logger.info("precompile %d/%d: %dx%d (batch %d)",
                         i + 1, len(shapes), hw[0], hw[1], bs)
-            dummy = jnp.full((bs, hw[0], hw[1], 3), 128, jnp.float32)
+            # uint8, matching what _get_outputs uploads (dtype is part of
+            # the compile key)
+            dummy = jnp.full((bs, hw[0], hw[1], 3), 128, jnp.uint8)
             jax.block_until_ready(
                 self.pipeline(hw, with_peaks=False)(self.params, dummy))
+
+        if self.cfg.eval.device_resize:
+            # warm the resize+accumulate graphs: one per unique
+            # (scale-bucket shape, padded-original shape) pair
+            pad_to = max(bucket, 1)
+            pairs = set()
+            for h, w in image_shapes:
+                h, w = int(h), int(w)
+                hp = -(-h // pad_to) * pad_to
+                wp = -(-w // pad_to) * pad_to
+                for m in get_multipliers(h, self.cfg.eval.inp_size,
+                                         self.cfg.eval.scale_search):
+                    dummy_im = np.zeros((h, w, 3), np.uint8)
+                    cropped, _, _ = crop_with_factor(
+                        dummy_im, m * h, factor=32, pad_val=128, bucket=bucket)
+                    pairs.add((cropped.shape[0] // 4, cropped.shape[1] // 4,
+                               hp, wp))
+            accum = self.accum_fn()
+            for i, (s4h, s4w, hp, wp) in enumerate(sorted(pairs)):
+                logger.info("precompile resize %d/%d: (%d,%d)->(%d,%d)",
+                            i + 1, len(pairs), s4h, s4w, hp, wp)
+                jax.block_until_ready(accum(
+                    jnp.zeros((bs, hp, wp, 18), jnp.float32),
+                    jnp.zeros((bs, s4h, s4w, 18), jnp.float32),
+                    jnp.zeros((hp, s4h), jnp.float32),
+                    jnp.zeros((s4w, wp), jnp.float32)))
         # PRN pipeline (single fixed shape) + the device grouping kernel
         maxb = self.cfg.prn.max_people
         maxp = self.cfg.peaks.max_peaks_per_joint
@@ -287,6 +352,9 @@ class Evaluator:
         instead of the reference's two full passes, tester.py:147-152);
         returns (heat_avg, bbox_all, flip_heat_avg_or_None).
         """
+        if self.cfg.eval.device_resize:
+            return self._get_outputs_device(multipliers, img, bucket,
+                                            with_flip)
         heat_avg = np.zeros((img.shape[0], img.shape[1], 18), np.float32)
         flip_avg = np.zeros_like(heat_avg) if with_flip else None
         bbox_all = []
@@ -327,14 +395,66 @@ class Evaluator:
             bbox_all.append((dboxes[0][keep] / im_scale).tolist())
         return heat_avg, bbox_all, flip_avg
 
+    def _get_outputs_device(self, multipliers: List[float], img: np.ndarray,
+                            bucket: int = 64, with_flip: bool = False):
+        """_get_outputs with the resize+average chain on the TPU: the
+        stride-4 heatmaps never reach the host; each scale adds its cv2-exact
+        bicubic-to-original resize (ops/resize.heatmap_resize_mats) into a
+        running device sum, and a single padded (nb, Hp, Wp, 18) map is
+        fetched per image.  On the one-core eval host this removes the
+        100-800 ms/image cv2 chain from the critical path."""
+        from multiposenet_tpu.ops.resize import heatmap_resize_mats
+        h, w = img.shape[:2]
+        pad_to = max(bucket, 1)
+        hp = -(-h // pad_to) * pad_to
+        wp = -(-w // pad_to) * pad_to
+        nb = 2 if with_flip else 1
+        img_f = img[:, ::-1, :] if with_flip else None
+
+        avg = jnp.zeros((nb, hp, wp, 18), jnp.float32)
+        det_pending = []
+        accum = self.accum_fn()
+        for m in multipliers:
+            inp_size = m * img.shape[0]
+            cropped, im_scale, real_shape = crop_with_factor(
+                img, inp_size, factor=32, pad_val=128, bucket=bucket)
+            batch = [cropped[:, :, ::-1]]
+            if with_flip:
+                cropped_f, _, _ = crop_with_factor(
+                    img_f, inp_size, factor=32, pad_val=128, bucket=bucket)
+                batch.append(cropped_f[:, :, ::-1])
+            out = self.pipeline(cropped.shape[:2], with_peaks=False)(
+                self.params, jnp.asarray(np.stack(batch)))
+            rh, rwt = heatmap_resize_mats(
+                cropped.shape[0] // 4, cropped.shape[1] // 4,
+                real_shape[0], real_shape[1], h, w, hp, wp)
+            avg = accum(avg, out.heatmaps, jnp.asarray(rh), jnp.asarray(rwt))
+            det_pending.append((out.detections, im_scale))
+
+        # fold (crop + /n + flip-average) on device: ONE (h, w, 18) map
+        # crosses the wire per image; flip_heat is returned as None so
+        # _finish_image knows the flip is already folded in
+        heat = self.fold_fn()(avg, h, w, with_flip,
+                              jnp.float32(1.0 / len(multipliers)))
+        fetched = jax.device_get(
+            [heat] + [(d.scores, d.boxes) for d, _ in det_pending])
+        heat_avg = np.asarray(fetched[0], np.float32)
+        bbox_all = []
+        for (dscores, dboxes), (_, im_scale) in zip(fetched[1:], det_pending):
+            keep = dscores[0] > self.cfg.detection.test_score_thresh
+            bbox_all.append((dboxes[0][keep] / im_scale).tolist())
+        return heat_avg, bbox_all, None
+
     def _finish_image(self, orig_heat, flip_heat, orig_bbox, img_h,
                       name, img_id) -> List[Dict]:
         """Host post-processing for one image (reference tester.py:151-177):
         flip averaging, peak finding, PRN grouping, COCO reorder."""
         cfg = self.cfg
-        if cfg.eval.flip:
+        if cfg.eval.flip and flip_heat is not None:
             heat = average_flip_heat(orig_heat, flip_heat)
         else:
+            # flip_heat None with flip on = the device path already folded
+            # the mirror map in (fold_fn)
             heat = orig_heat
         jl = joint_list_from_heatmaps(heat[:, :, :18], img_h, 1.0,
                                       cfg.peaks.thre1)
@@ -375,8 +495,9 @@ class Evaluator:
         with ThreadPoolExecutor(max_workers=1) as pool:
             for n, img_id in enumerate(img_ids):
                 name = gt.load_imgs(img_id)[0]["file_name"]
-                ori = cv2.imread(
-                    os.path.join(img_dir, name)).astype(np.float32)
+                # keep uint8: the reference resizes the u8 image per scale
+                # and normalizes on the cropped result (tester.py:285-291)
+                ori = cv2.imread(os.path.join(img_dir, name))
                 mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
                                        cfg.eval.scale_search)
                 orig_heat, orig_bbox, flip_heat = self._get_outputs(

@@ -112,9 +112,11 @@ def _stub_evaluator(cfg):
     import dataclasses
     from multiposenet_tpu.engine.evaluator import Evaluator
     ev = Evaluator.__new__(Evaluator)
-    # host grouping so precompile() skips warming the device grouping kernel
+    # host grouping / host resize: these stub tests target the dispatch
+    # bookkeeping, not the device kernels
     ev.cfg = dataclasses.replace(
-        cfg, prn=dataclasses.replace(cfg.prn, device_grouping=False))
+        cfg, prn=dataclasses.replace(cfg.prn, device_grouping=False),
+        eval=dataclasses.replace(cfg.eval, device_resize=False))
     ev.params = None
     ev.called = []
 
@@ -254,3 +256,61 @@ def test_find_peaks_np_matches_scipy_reference():
     want = reference(hm, thre1=0.3, upsamp_factor=4.0)
     for j in range(5):
         np.testing.assert_array_equal(got[j], want[j], err_msg=f"joint {j}")
+
+
+def test_get_outputs_device_resize_matches_host_path():
+    """The on-device resize+average path must reproduce the host cv2 chain
+    (heat averages, flip averages, per-scale boxes)."""
+    import dataclasses
+    import types
+    from multiposenet_tpu.config import Config
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                      scale_search=(0.5, 1.0, 1.5),
+                                      flip=True))
+    ev_host = _stub_evaluator(cfg)   # device_resize=False inside
+    ev_dev = _stub_evaluator(cfg)
+    ev_dev.cfg = dataclasses.replace(
+        ev_dev.cfg, eval=dataclasses.replace(ev_dev.cfg.eval,
+                                             device_resize=True))
+    from multiposenet_tpu.engine.evaluator import Evaluator
+    ev_dev._accum_jit = None
+    ev_dev.accum_fn = lambda: Evaluator.accum_fn(ev_dev)
+
+    def content_pipeline(ev):
+        def pipeline(hw, with_peaks=True):
+            def run(params, batch):
+                bs = batch.shape[0]
+                r = np.random.RandomState(hw[0] * 7919 + hw[1])
+                hm = r.rand(bs, hw[0] // 4, hw[1] // 4, 18).astype(np.float32)
+                boxes = r.rand(bs, 6, 4).astype(np.float32) * 50
+                scores = np.linspace(0.9, 0.1, 6, dtype=np.float32)[None]
+                return types.SimpleNamespace(
+                    heatmaps=jnp.asarray(hm),
+                    detections=types.SimpleNamespace(
+                        scores=jnp.asarray(np.repeat(scores, bs, 0)),
+                        boxes=jnp.asarray(boxes)))
+            return run
+        ev.pipeline = pipeline
+
+    content_pipeline(ev_host)
+    content_pipeline(ev_dev)
+
+    ev_dev._fold_jit = None
+    ev_dev.fold_fn = lambda: Evaluator.fold_fn(ev_dev)
+
+    img = (np.random.RandomState(0).rand(160, 224, 3) * 255).astype(np.uint8)
+    mult = get_multipliers(160, cfg.eval.inp_size, cfg.eval.scale_search)
+    heat_h, bbox_h, flip_h = ev_host._get_outputs(mult, img, with_flip=True)
+    heat_d, bbox_d, flip_d = ev_dev._get_outputs(mult, img, with_flip=True)
+
+    # device path folds /n + flip-average on device and returns flip=None
+    assert flip_d is None
+    from multiposenet_tpu.eval.multiscale import average_flip_heat
+    np.testing.assert_allclose(heat_d, average_flip_heat(heat_h, flip_h),
+                               atol=2e-4)
+    assert len(bbox_d) == len(bbox_h) == 3
+    for a, b in zip(bbox_d, bbox_h):
+        np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -348,3 +348,40 @@ def test_onehot_contraction_equals_scatter_max_blur():
                      jnp.asarray(blur_matrix(gw, 1.0, "nearest")),
                      precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_cubic_resize_matrix_matches_cv2():
+    """Dense bicubic operators must equal cv2.resize INTER_CUBIC (float
+    path, A=-0.75, replicate borders) to float rounding."""
+    import cv2
+    import numpy as np
+    from multiposenet_tpu.ops.resize import cubic_resize_matrix
+
+    rng = np.random.RandomState(0)
+    for (hi, wi, ho, wo) in [(60, 45, 240, 180), (37, 53, 480, 640),
+                             (120, 160, 60, 80), (33, 21, 132, 84)]:
+        x = rng.rand(hi, wi).astype(np.float32)
+        ref = cv2.resize(x, (wo, ho), interpolation=cv2.INTER_CUBIC)
+        got = cubic_resize_matrix(hi, ho) @ x @ cubic_resize_matrix(wi, wo).T
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_heatmap_resize_mats_match_reference_chain():
+    """Composed matrices == the host x4-bicubic -> crop -> resize chain
+    (reference tester.py:299-305), with zeroed padding rows/cols."""
+    import numpy as np
+    from multiposenet_tpu.eval.multiscale import resize_heatmap_to_original
+    from multiposenet_tpu.ops.resize import heatmap_resize_mats
+
+    rng = np.random.RandomState(1)
+    s4h, s4w = 48, 64
+    hm = rng.rand(s4h, s4w, 18).astype(np.float32)
+    cropped = (s4h * 4, s4w * 4, 3)
+    real = (s4h * 4 - 13, s4w * 4 - 7, 3)
+    orig = (480, 640, 3)
+    ref = resize_heatmap_to_original(hm, cropped, real, orig)
+    rh, rwt = heatmap_resize_mats(s4h, s4w, real[0], real[1], 480, 640,
+                                  512, 704)
+    got = np.einsum("oh,hwc,wx->oxc", rh, hm, rwt)
+    np.testing.assert_allclose(got[:480, :640], ref, atol=1e-4)
+    assert np.abs(got[480:]).max() == 0 and np.abs(got[:, 640:]).max() == 0
