@@ -173,13 +173,48 @@ def cmd_coco_eval(args):
     ann = os.path.join(args.coco_root, "annotations/person_keypoints_val2017.json")
     if not os.path.isfile(ann):
         sys.exit(f"error: annotations not found: {ann}")
+    shard = (0, 1)
+    if args.eval_shard:
+        i, n = args.eval_shard.split(":")
+        shard = (int(i), int(n))
+        if not (0 <= shard[0] < shard[1]):
+            sys.exit(f"error: bad --eval-shard {args.eval_shard}")
+        if shard[1] > 1 and not args.result_file:
+            sys.exit("error: --eval-shard requires --result-file "
+                     "(merge shards with `cli merge-results`)")
     _, ev = _load_eval(args)
     if args.host_resize:
         ev.cfg = dataclasses.replace(
             ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
                                              device_resize=False))
     ev.coco_eval(max_images=args.max_images,
-                 result_file=args.result_file, bucket=args.bucket)
+                 result_file=args.result_file, bucket=args.bucket,
+                 shard=shard, skip_metrics=shard != (0, 1))
+
+
+def cmd_merge_results(args):
+    """Concatenate per-shard result files and run the OKS evaluation."""
+    import json
+    from multiposenet_tpu.data.coco_json import COCOIndex
+    from multiposenet_tpu.eval.cocoeval import KeypointEval
+
+    results = []
+    for path in args.results:
+        with open(path) as f:
+            results.extend(json.load(f))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f)
+    ann = os.path.join(args.coco_root,
+                       "annotations/person_keypoints_val2017.json")
+    gt = COCOIndex(ann)
+    img_ids = gt.get_img_ids(cat_ids=[1])
+    if args.max_images:
+        img_ids = img_ids[:args.max_images]
+    dt = gt.load_res(results)
+    ev = KeypointEval(gt, dt, img_ids=img_ids)
+    ev.evaluate()
+    print(ev.summarize())
 
 
 def cmd_precompile(args):
@@ -260,7 +295,18 @@ def main(argv=None):
                     help="resize/average multi-scale heatmaps with cv2 on "
                          "the host (reference-exact chain) instead of the "
                          "cv2-matching on-device matmul path")
+    pc.add_argument("--eval-shard", default=None, metavar="I:N",
+                    help="process only image slice i::n (run one worker per "
+                         "chip/host, then `cli merge-results`)")
     pc.set_defaults(fn=cmd_coco_eval)
+
+    pm = sub.add_parser("merge-results")
+    pm.add_argument("results", nargs="+",
+                    help="per-shard result json files from coco-eval")
+    pm.add_argument("--coco-root", default="/data/COCO/")
+    pm.add_argument("--max-images", type=int, default=None)
+    pm.add_argument("--out", default=None, help="write merged json here")
+    pm.set_defaults(fn=cmd_merge_results)
 
     pp = sub.add_parser("precompile")
     _common(pp)

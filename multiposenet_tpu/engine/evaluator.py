@@ -473,7 +473,9 @@ class Evaluator:
                   ann_file: Optional[str] = None, img_dir: Optional[str] = None,
                   max_images: Optional[int] = None,
                   result_file: Optional[str] = None,
-                  bucket: int = 64) -> Dict[str, float]:
+                  bucket: int = 64,
+                  shard: Tuple[int, int] = (0, 1),
+                  skip_metrics: bool = False) -> Dict[str, float]:
         cfg = self.cfg
         coco_root = coco_root or cfg.data.coco_root
         ann_file = ann_file or os.path.join(
@@ -484,6 +486,12 @@ class Evaluator:
         img_ids = gt.get_img_ids(cat_ids=[1])
         if max_images:
             img_ids = img_ids[:max_images]
+        if shard != (0, 1):
+            # embarrassingly parallel eval: worker i of n takes a strided
+            # slice; merge partial result files with `cli merge-results`
+            img_ids = img_ids[shard[0]::shard[1]]
+            logger.info("eval shard %d/%d: %d images", shard[0], shard[1],
+                        len(img_ids))
 
         # pipeline images: the device/scale dispatches for image n+1 run
         # while a background worker does image n's host-bound post-processing
@@ -516,6 +524,10 @@ class Evaluator:
             with open(result_file, "w") as f:
                 json.dump(results, f, indent=4)
 
+        if skip_metrics:
+            logger.info("shard done: %d results (metrics skipped; merge "
+                        "shards first)", len(results))
+            return {}
         if not results:
             logger.warning("coco_eval produced no detections")
             return {}
