@@ -48,10 +48,36 @@ class BatchPredictor:
 
     # -- public API --------------------------------------------------------
 
+    def _finish_chunk(self, out, packed) -> List[List[Dict]]:
+        """Fetch one dispatched chunk (single batched device_get) and run
+        the host/PRN tail per image."""
+        import jax
+        coords, scores, valid, dscores, dboxes = jax.device_get(
+            (out.peaks.coords, out.peaks.scores, out.peaks.valid,
+             out.detections.scores, out.detections.boxes))
+        results: List[List[Dict]] = []
+        for i, (_, scale) in enumerate(packed):
+            js, ps = np.nonzero(valid[i])   # j-major == reference peak order
+            if len(js):
+                rows = np.column_stack([
+                    coords[i, js, ps] * scale, scores[i, js, ps],
+                    np.arange(len(js)), js])
+            else:
+                rows = np.zeros((0, 5))
+            joints = drop_neck(rows)
+            keep = dscores[i] > self.cfg.detection.test_score_thresh
+            boxes = (dboxes[i][keep] * scale).tolist()
+            results.append(self.ev.prn_process(joints, boxes))
+        return results
+
     def predict(self, images_bgr: Sequence[np.ndarray]) -> List[List[Dict]]:
-        """BGR images (any sizes) -> per-image person result lists."""
+        """BGR images (any sizes) -> per-image person result lists.
+
+        Chunks are dispatched 2 deep: the device runs chunk k+1's forward
+        while the host unpacks chunk k (jax dispatch is async)."""
         results: List[List[Dict]] = []
         pipeline = self.ev.pipeline((self.inp, self.inp))
+        pending = []
         for lo in range(0, len(images_bgr), self.batch_size):
             chunk = images_bgr[lo: lo + self.batch_size]
             packed = [self._pack(im) for im in chunk]
@@ -59,29 +85,12 @@ class BatchPredictor:
                              np.uint8)
             for i, (rgb, _) in enumerate(packed):
                 batch[i] = rgb
-            out = pipeline(self.ev.params, jnp.asarray(batch))
-
-            coords = np.asarray(out.peaks.coords)
-            scores = np.asarray(out.peaks.scores)
-            valid = np.asarray(out.peaks.valid)
-            dscores = np.asarray(out.detections.scores)
-            dboxes = np.asarray(out.detections.boxes)
-
-            for i, (_, scale) in enumerate(packed):
-                joint_list = []
-                pid = 0
-                for j in range(coords.shape[1]):
-                    for p in range(coords.shape[2]):
-                        if valid[i, j, p]:
-                            joint_list.append(
-                                [coords[i, j, p, 0] * scale,
-                                 coords[i, j, p, 1] * scale,
-                                 float(scores[i, j, p]), pid, j])
-                            pid += 1
-                joints = drop_neck(np.asarray(joint_list))
-                keep = dscores[i] > self.cfg.detection.test_score_thresh
-                boxes = (dboxes[i][keep] * scale).tolist()
-                results.append(self.ev.prn_process(joints, boxes))
+            pending.append((pipeline(self.ev.params, jnp.asarray(batch)),
+                            packed))
+            if len(pending) > 2:
+                results.extend(self._finish_chunk(*pending.pop(0)))
+        for out, packed in pending:
+            results.extend(self._finish_chunk(out, packed))
         return results
 
     def predict_stream(self, images: Iterable[np.ndarray]
