@@ -83,6 +83,7 @@ class Evaluator:
         self._pipelines: Dict[Tuple[int, int, bool], callable] = {}
         self._prn_pipeline = None
         self._assign_jit = None
+        self._prn_assign_jit = None
         self._accum_jit = None
         self._fold_jit = None
 
@@ -107,6 +108,23 @@ class Evaluator:
             from multiposenet_tpu.ops.grouping import assign_peaks
             self._assign_jit = jax.jit(assign_peaks)
         return self._assign_jit
+
+    def prn_assign_pipeline(self):
+        """PRN stage + device grouping fused into ONE jitted dispatch (and
+        one fetch) per image — separate dispatches cost an extra tunnel
+        round-trip each on remote runtimes."""
+        if self._prn_assign_jit is None:
+            from multiposenet_tpu.ops.grouping import assign_peaks
+            base = self.prn_pipeline()
+
+            @jax.jit
+            def run(params, peak_xy, peak_score, peak_valid, boxes,
+                    box_valid):
+                table, inside, prn_out, x0, y0 = base.__wrapped__(
+                    params, peak_xy, peak_score, peak_valid, boxes, box_valid)
+                return assign_peaks(table, inside, x0, y0, prn_out, boxes)
+            self._prn_assign_jit = run
+        return self._prn_assign_jit
 
     def accum_fn(self):
         """Cached jit of the device resize+accumulate step (one compile per
@@ -162,26 +180,29 @@ class Evaluator:
         peak_xy, peak_score, peak_valid = _joints_to_peak_arrays(
             joint_list, self.cfg.peaks.max_peaks_per_joint)
 
-        table, inside, prn_out, x0, y0 = self.prn_pipeline()(
-            self.params, jnp.asarray(peak_xy), jnp.asarray(peak_score),
-            jnp.asarray(peak_valid), jnp.asarray(boxes_pad),
-            jnp.asarray(box_valid))
+        args = (self.params, jnp.asarray(peak_xy), jnp.asarray(peak_score),
+                jnp.asarray(peak_valid), jnp.asarray(boxes_pad),
+                jnp.asarray(box_valid))
 
         if self.cfg.prn.device_grouping:
             from multiposenet_tpu.eval.grouping import format_assignment
-            a = self.assign_fn()(table, inside, x0, y0, prn_out,
-                                 jnp.asarray(boxes_pad))
+            # PRN + grouping fused into one dispatch, fetched in one call
+            # (separate dispatches/fetches each cost a tunnel round-trip)
+            a = self.prn_assign_pipeline()(*args)
+            chosen, active, fallback_xy = jax.device_get(
+                (a.chosen, a.active, a.fallback_xy))
             # active_any must consider only the real (non-padded) boxes
-            active = np.asarray(a.active)[:nb]
+            active = active[:nb]
             return format_assignment(
-                np.asarray(a.chosen)[:nb], active.any(axis=(0, 2)), active,
-                np.asarray(a.fallback_xy)[:nb], peak_xy, boxes[:nb],
+                chosen[:nb], active.any(axis=(0, 2)), active,
+                fallback_xy[:nb], peak_xy, boxes[:nb],
                 file_name=file_name, image_id=image_id)
 
+        table, inside, prn_out, x0, y0 = jax.device_get(
+            self.prn_pipeline()(*args))
         return group_peaks(
-            np.asarray(table)[:nb], np.asarray(inside)[:nb],
-            np.asarray(x0)[:nb], np.asarray(y0)[:nb],
-            np.asarray(prn_out)[:nb], peak_xy, peak_valid, boxes[:nb],
+            table[:nb], inside[:nb], x0[:nb], y0[:nb], prn_out[:nb],
+            peak_xy, peak_valid, boxes[:nb],
             file_name=file_name, image_id=image_id)
 
     # ------------------------------------------------------------------
@@ -321,22 +342,20 @@ class Evaluator:
                     jnp.zeros((bs, s4h, s4w, 18), jnp.float32),
                     jnp.zeros((hp, s4h), jnp.float32),
                     jnp.zeros((s4w, wp), jnp.float32)))
-        # PRN pipeline (single fixed shape) + the device grouping kernel
+        # PRN stage (single fixed shape): the fused PRN+grouping graph when
+        # device grouping is on, the bare PRN pipeline otherwise
         maxb = self.cfg.prn.max_people
         maxp = self.cfg.peaks.max_peaks_per_joint
-        boxes0 = jnp.zeros((maxb, 4), jnp.float32)
-        prn_out_full = self.prn_pipeline()(
-            self.params,
-            jnp.zeros((NUM_J17, maxp, 2), jnp.float32),
-            jnp.full((NUM_J17, maxp), -1.0, jnp.float32),
-            jnp.zeros((NUM_J17, maxp), bool),
-            boxes0,
-            jnp.zeros((maxb,), bool))
-        jax.block_until_ready(prn_out_full)
+        prn_args = (self.params,
+                    jnp.zeros((NUM_J17, maxp, 2), jnp.float32),
+                    jnp.full((NUM_J17, maxp), -1.0, jnp.float32),
+                    jnp.zeros((NUM_J17, maxp), bool),
+                    jnp.zeros((maxb, 4), jnp.float32),
+                    jnp.zeros((maxb,), bool))
         if self.cfg.prn.device_grouping:
-            table, inside, prn_out, x0, y0 = prn_out_full
-            jax.block_until_ready(
-                self.assign_fn()(table, inside, x0, y0, prn_out, boxes0))
+            jax.block_until_ready(self.prn_assign_pipeline()(*prn_args))
+        else:
+            jax.block_until_ready(self.prn_pipeline()(*prn_args))
         return shapes
 
     # ------------------------------------------------------------------
