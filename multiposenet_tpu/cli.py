@@ -187,6 +187,10 @@ def cmd_coco_eval(args):
         ev.cfg = dataclasses.replace(
             ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
                                              device_resize=False))
+    if args.host_peaks:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
+                                             device_peaks=False))
     ev.coco_eval(max_images=args.max_images,
                  result_file=args.result_file, bucket=args.bucket,
                  shard=shard, skip_metrics=shard != (0, 1))
@@ -295,6 +299,10 @@ def main(argv=None):
                     help="resize/average multi-scale heatmaps with cv2 on "
                          "the host (reference-exact chain) instead of the "
                          "cv2-matching on-device matmul path")
+    pc.add_argument("--host-peaks", action="store_true",
+                    help="fetch the averaged heatmap and find peaks on the "
+                         "host (reference y-major peak order) instead of "
+                         "finding them on device after the multi-scale fold")
     pc.add_argument("--eval-shard", default=None, metavar="I:N",
                     help="process only image slice i::n (run one worker per "
                          "chip/host, then `cli merge-results`)")

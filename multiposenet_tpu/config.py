@@ -169,6 +169,12 @@ class EvalConfig:
     # resize+average multi-scale heatmaps on device (cv2-exact bicubic as
     # MXU matmuls, ops/resize.py); False = reference cv2 chain on host
     device_resize: bool = True
+    # with device_resize, also find peaks on device after the multi-scale
+    # fold so only compact peak arrays cross the wire instead of a full
+    # (H, W, 18) float map (~22 MB/image; 0.5-1 s over a remote runtime).
+    # False = fetch the averaged map and run the host (reference-exact
+    # y-major-ordered) peak finder
+    device_peaks: bool = True
     testdata_dir: str = "./demo/test_images/"
     testresult_dir: str = "./demo/output/"
     write_image: bool = False

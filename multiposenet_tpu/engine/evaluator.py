@@ -64,6 +64,25 @@ def _joints_to_peak_arrays(joint_list: Sequence[Sequence[float]],
     return peak_xy, peak_score, peak_valid
 
 
+def peak_arrays_to_joint_list(coords: np.ndarray, scores: np.ndarray,
+                              valid: np.ndarray, scale: float = 1.0
+                              ) -> List[List[float]]:
+    """Device PeakSet arrays (J, P, 2)/(J, P) -> reference joint-list rows
+    [x, y, score, id, joint_type] (joint_utils.py:141-152).  Peak ids are
+    assigned in (joint, slot) order — the device top-k emits slots in
+    score-descending order where the reference's host scan is y-major."""
+    joint_list = []
+    pid = 0
+    for j in range(coords.shape[0]):
+        for p in range(coords.shape[1]):
+            if valid[j, p]:
+                joint_list.append([float(coords[j, p, 0]) * scale,
+                                   float(coords[j, p, 1]) * scale,
+                                   float(scores[j, p]), pid, j])
+                pid += 1
+    return joint_list
+
+
 def drop_neck(joint_list: np.ndarray) -> List[List[float]]:
     """18-joint rows -> 17-joint rows (reference tester.py:160-167)."""
     out = []
@@ -86,6 +105,7 @@ class Evaluator:
         self._prn_assign_jit = None
         self._accum_jit = None
         self._fold_jit = None
+        self._fold_peaks_jit = None
 
     # ------------------------------------------------------------------
 
@@ -158,6 +178,47 @@ class Evaluator:
             self._fold_jit = fold
         return self._fold_jit
 
+    def fold_peaks_fn(self):
+        """Cached jit of fold + ON-DEVICE peak finding on the padded running
+        sum: divide by #scales, un-flip + channel-swap average the mirror map
+        (about the DYNAMIC valid width), zero the pad region, and run the
+        device peak finder — so only compact (J, P) peak arrays leave the
+        device instead of a full-resolution float map (22 MB and 0.5-1 s per
+        image on a remote runtime).
+
+        The valid size (h, w) is a traced scalar, so there is ONE compile per
+        padded bucket shape (the same set `precompile` already warms) rather
+        than one per distinct original image size.  Peaks land directly in
+        original-image coordinates; border-window semantics are the
+        documented ops/peaks.py deviation (<=1px within 2px of the border)."""
+        if self._fold_peaks_jit is None:
+            import functools
+            from multiposenet_tpu.ops.peaks import find_peaks_refined
+            swap = jnp.asarray(SWAP_HEAT_18)
+            thre1 = self.cfg.peaks.thre1
+            max_peaks = self.cfg.peaks.max_peaks_per_joint
+            win = self.cfg.peaks.win_size
+
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def fold_peaks(avg, h, w, with_flip, inv_n):
+                hp, wp = avg.shape[1], avg.shape[2]
+                v = avg * inv_n
+                if with_flip:
+                    # mirror about the valid width w (dynamic): original
+                    # column x lives at flipped-map column w-1-x; columns
+                    # >= w are garbage and zeroed by the mask below
+                    cols = jnp.clip(w - 1 - jnp.arange(wp), 0, wp - 1)
+                    heat = (v[0] + v[1][:, cols, :][:, :, swap]) / 2.0
+                else:
+                    heat = v[0]
+                mask = ((jnp.arange(hp)[:, None] < h)
+                        & (jnp.arange(wp)[None, :] < w))
+                heat = jnp.where(mask[:, :, None], heat, 0.0)
+                return find_peaks_refined(heat, thre1, max_peaks,
+                                          upsamp_factor=1, win_size=win)
+            self._fold_peaks_jit = fold_peaks
+        return self._fold_peaks_jit
+
     # ------------------------------------------------------------------
 
     def prn_process(self, joint_list: List[List[float]],
@@ -226,18 +287,9 @@ class Evaluator:
         heatmaps = np.asarray(out.heatmaps)[0]
 
         # peaks from the device pipeline are at input resolution (factor 4)
-        coords = np.asarray(out.peaks.coords)[0]   # (18, P, 2)
-        scores = np.asarray(out.peaks.scores)[0]
-        valid = np.asarray(out.peaks.valid)[0]
-        joint_list = []
-        pid = 0
-        for j in range(coords.shape[0]):
-            for p in range(coords.shape[1]):
-                if valid[j, p]:
-                    joint_list.append([coords[j, p, 0] * scale,
-                                       coords[j, p, 1] * scale,
-                                       float(scores[j, p]), pid, j])
-                    pid += 1
+        joint_list = peak_arrays_to_joint_list(
+            np.asarray(out.peaks.coords)[0], np.asarray(out.peaks.scores)[0],
+            np.asarray(out.peaks.valid)[0], scale)
         joints = drop_neck(np.asarray(joint_list))
 
         # detections: post-NMS test threshold + person class (tester.py:233-241)
@@ -342,6 +394,18 @@ class Evaluator:
                     jnp.zeros((bs, s4h, s4w, 18), jnp.float32),
                     jnp.zeros((hp, s4h), jnp.float32),
                     jnp.zeros((s4w, wp), jnp.float32)))
+            if self.cfg.eval.device_peaks:
+                # one fold+peaks compile per padded bucket shape (the valid
+                # (h, w) is a traced scalar, so these cover every image)
+                fold_peaks = self.fold_peaks_fn()
+                folds = sorted({(hp, wp) for (_, _, hp, wp) in pairs})
+                for i, (hp, wp) in enumerate(folds):
+                    logger.info("precompile fold+peaks %d/%d: (%d,%d)",
+                                i + 1, len(folds), hp, wp)
+                    jax.block_until_ready(fold_peaks(
+                        jnp.zeros((bs, hp, wp, 18), jnp.float32),
+                        jnp.int32(hp), jnp.int32(wp), self.cfg.eval.flip,
+                        jnp.float32(1.0)))
         # PRN stage (single fixed shape): the fused PRN+grouping graph when
         # device grouping is on, the bare PRN pipeline otherwise
         maxb = self.cfg.prn.max_people
@@ -369,7 +433,10 @@ class Evaluator:
         With `with_flip`, the horizontally flipped image rides in the same
         device batch as the original (one pipeline dispatch per scale
         instead of the reference's two full passes, tester.py:147-152);
-        returns (heat_avg, bbox_all, flip_heat_avg_or_None).
+        returns (heat_avg, bbox_all, flip_heat_avg_or_None, peaks_or_None).
+        With device peaks (device_resize + device_peaks), heat_avg is None
+        and `peaks` carries (coords, scores, valid) numpy arrays in
+        original-image coordinates.
         """
         if self.cfg.eval.device_resize:
             return self._get_outputs_device(multipliers, img, bucket,
@@ -412,7 +479,7 @@ class Evaluator:
                     img.shape) / len(multipliers)
             keep = dscores[0] > self.cfg.detection.test_score_thresh
             bbox_all.append((dboxes[0][keep] / im_scale).tolist())
-        return heat_avg, bbox_all, flip_avg
+        return heat_avg, bbox_all, flip_avg, None
 
     def _get_outputs_device(self, multipliers: List[float], img: np.ndarray,
                             bucket: int = 64, with_flip: bool = False):
@@ -450,33 +517,51 @@ class Evaluator:
             avg = accum(avg, out.heatmaps, jnp.asarray(rh), jnp.asarray(rwt))
             det_pending.append((out.detections, im_scale))
 
-        # fold (crop + /n + flip-average) on device: ONE (h, w, 18) map
-        # crosses the wire per image; flip_heat is returned as None so
-        # _finish_image knows the flip is already folded in
-        heat = self.fold_fn()(avg, h, w, with_flip,
-                              jnp.float32(1.0 / len(multipliers)))
-        fetched = jax.device_get(
-            [heat] + [(d.scores, d.boxes) for d, _ in det_pending])
-        heat_avg = np.asarray(fetched[0], np.float32)
+        inv_n = jnp.float32(1.0 / len(multipliers))
+        if self.cfg.eval.device_peaks:
+            # fold + peak finding on device: only compact (J, P) peak
+            # arrays cross the wire (vs a 0.5-1 s full-map fetch per image
+            # on remote runtimes)
+            pk = self.fold_peaks_fn()(avg, jnp.int32(h), jnp.int32(w),
+                                      with_flip, inv_n)
+            fetched = jax.device_get(
+                [(pk.coords, pk.scores, pk.valid)]
+                + [(d.scores, d.boxes) for d, _ in det_pending])
+            peaks = tuple(np.asarray(a) for a in fetched[0])
+            heat_avg = None
+        else:
+            # fold (crop + /n + flip-average) on device: ONE (h, w, 18) map
+            # crosses the wire per image; flip_heat is returned as None so
+            # _finish_image knows the flip is already folded in
+            heat = self.fold_fn()(avg, h, w, with_flip, inv_n)
+            fetched = jax.device_get(
+                [heat] + [(d.scores, d.boxes) for d, _ in det_pending])
+            heat_avg = np.asarray(fetched[0], np.float32)
+            peaks = None
         bbox_all = []
         for (dscores, dboxes), (_, im_scale) in zip(fetched[1:], det_pending):
             keep = dscores[0] > self.cfg.detection.test_score_thresh
             bbox_all.append((dboxes[0][keep] / im_scale).tolist())
-        return heat_avg, bbox_all, None
+        return heat_avg, bbox_all, None, peaks
 
     def _finish_image(self, orig_heat, flip_heat, orig_bbox, img_h,
-                      name, img_id) -> List[Dict]:
+                      name, img_id, peaks=None) -> List[Dict]:
         """Host post-processing for one image (reference tester.py:151-177):
-        flip averaging, peak finding, PRN grouping, COCO reorder."""
+        flip averaging, peak finding, PRN grouping, COCO reorder.  With
+        `peaks` (device-peaks path) the heatmap never reached the host and
+        the joint list comes straight from the device peak arrays."""
         cfg = self.cfg
-        if cfg.eval.flip and flip_heat is not None:
-            heat = average_flip_heat(orig_heat, flip_heat)
+        if peaks is not None:
+            jl = np.asarray(peak_arrays_to_joint_list(*peaks)).reshape(-1, 5)
         else:
-            # flip_heat None with flip on = the device path already folded
-            # the mirror map in (fold_fn)
-            heat = orig_heat
-        jl = joint_list_from_heatmaps(heat[:, :, :18], img_h, 1.0,
-                                      cfg.peaks.thre1)
+            if cfg.eval.flip and flip_heat is not None:
+                heat = average_flip_heat(orig_heat, flip_heat)
+            else:
+                # flip_heat None with flip on = the device path already
+                # folded the mirror map in (fold_fn)
+                heat = orig_heat
+            jl = joint_list_from_heatmaps(heat[:, :, :18], img_h, 1.0,
+                                          cfg.peaks.thre1)
         joints = drop_neck(jl)
         # detections from scale 1.0 only (reference tester.py:169)
         scale1 = min(1, len(orig_bbox) - 1)
@@ -527,11 +612,11 @@ class Evaluator:
                 ori = cv2.imread(os.path.join(img_dir, name))
                 mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
                                        cfg.eval.scale_search)
-                orig_heat, orig_bbox, flip_heat = self._get_outputs(
+                orig_heat, orig_bbox, flip_heat, peaks = self._get_outputs(
                     mult, ori, bucket=bucket, with_flip=cfg.eval.flip)
                 futures.append(pool.submit(
                     self._finish_image, orig_heat, flip_heat, orig_bbox,
-                    ori.shape[0], name, img_id))
+                    ori.shape[0], name, img_id, peaks))
                 while len(futures) > 2:
                     results.extend(futures.pop(0).result())
                 if (n + 1) % 50 == 0:

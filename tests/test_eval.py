@@ -274,7 +274,8 @@ def test_get_outputs_device_resize_matches_host_path():
     ev_dev = _stub_evaluator(cfg)
     ev_dev.cfg = dataclasses.replace(
         ev_dev.cfg, eval=dataclasses.replace(ev_dev.cfg.eval,
-                                             device_resize=True))
+                                             device_resize=True,
+                                             device_peaks=False))
     from multiposenet_tpu.engine.evaluator import Evaluator
     ev_dev._accum_jit = None
     ev_dev.accum_fn = lambda: Evaluator.accum_fn(ev_dev)
@@ -303,8 +304,10 @@ def test_get_outputs_device_resize_matches_host_path():
 
     img = (np.random.RandomState(0).rand(160, 224, 3) * 255).astype(np.uint8)
     mult = get_multipliers(160, cfg.eval.inp_size, cfg.eval.scale_search)
-    heat_h, bbox_h, flip_h = ev_host._get_outputs(mult, img, with_flip=True)
-    heat_d, bbox_d, flip_d = ev_dev._get_outputs(mult, img, with_flip=True)
+    heat_h, bbox_h, flip_h, _ = ev_host._get_outputs(mult, img,
+                                                     with_flip=True)
+    heat_d, bbox_d, flip_d, _ = ev_dev._get_outputs(mult, img,
+                                                    with_flip=True)
 
     # device path folds /n + flip-average on device and returns flip=None
     assert flip_d is None
@@ -314,3 +317,74 @@ def test_get_outputs_device_resize_matches_host_path():
     assert len(bbox_d) == len(bbox_h) == 3
     for a, b in zip(bbox_d, bbox_h):
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_get_outputs_device_peaks_matches_host_joint_list():
+    """The fused on-device fold+peaks path must produce the same joint set
+    as fetching the averaged map and running the host peak finder (interior
+    peaks; ordering differs — device is score-major, host y-major)."""
+    import dataclasses
+    import types
+    from multiposenet_tpu.config import Config
+    from multiposenet_tpu.engine.evaluator import (
+        Evaluator, peak_arrays_to_joint_list)
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                      scale_search=(0.5, 1.0),
+                                      flip=True))
+
+    def make_ev(device_peaks):
+        ev = _stub_evaluator(cfg)
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(ev.cfg.eval, device_resize=True,
+                                             device_peaks=device_peaks))
+        for name in ("accum_fn", "fold_fn", "fold_peaks_fn"):
+            setattr(ev, "_" + name.replace("_fn", "") + "_jit", None)
+            setattr(ev, name,
+                    (lambda n: lambda: getattr(Evaluator, n)(ev))(name))
+        # stub pipeline: gaussian-bump heatmaps so the multi-scale average
+        # has clean interior peaks
+        def pipeline(hw, with_peaks=True):
+            def run(params, batch):
+                bs = batch.shape[0]
+                h4, w4 = hw[0] // 4, hw[1] // 4
+                yy, xx = np.mgrid[0:h4, 0:w4].astype(np.float32)
+                hm = np.zeros((bs, h4, w4, 18), np.float32)
+                for j, (fy, fx) in enumerate(
+                        [(0.35, 0.4), (0.6, 0.55), (0.45, 0.7)]):
+                    cy, cx = fy * h4, fx * w4
+                    g = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / 8.0)
+                    for b in range(bs):
+                        hm[b, :, :, j] = 0.9 * g
+                return types.SimpleNamespace(
+                    heatmaps=jnp.asarray(hm),
+                    detections=types.SimpleNamespace(
+                        scores=jnp.full((bs, 4), 0.9, jnp.float32),
+                        boxes=jnp.ones((bs, 4, 4), jnp.float32)))
+            return run
+        ev.pipeline = pipeline
+        return ev
+
+    from multiposenet_tpu.eval.multiscale import get_multipliers
+    img = (np.random.RandomState(1).rand(160, 192, 3) * 255).astype(np.uint8)
+    mult = get_multipliers(160, cfg.eval.inp_size, cfg.eval.scale_search)
+
+    heat_h, _, _, pk_h = make_ev(False)._get_outputs(mult, img,
+                                                     with_flip=True)
+    assert pk_h is None and heat_h is not None
+    jl_host = joint_list_from_heatmaps(heat_h[:, :, :18], 160, 1.0, 0.1)
+
+    heat_d, _, _, peaks = make_ev(True)._get_outputs(mult, img,
+                                                     with_flip=True)
+    assert heat_d is None and peaks is not None
+    jl_dev = np.asarray(peak_arrays_to_joint_list(*peaks)).reshape(-1, 5)
+
+    assert len(jl_dev) == len(jl_host) > 0
+    # compare as sets of (x, y, joint_type) with matching scores
+    host_set = {(r[0], r[1], r[4]): r[2] for r in np.asarray(jl_host)}
+    dev_set = {(r[0], r[1], r[4]): r[2] for r in jl_dev}
+    assert host_set.keys() == dev_set.keys()
+    for k in host_set:
+        np.testing.assert_allclose(host_set[k], dev_set[k], atol=2e-4)

@@ -119,7 +119,7 @@ def test_coco_eval_machinery(synthetic_coco):
             j[:, :, 0] = w - 1 - j[:, :, 0]
             j = j[:, FLIP_ORDER_18, :]
             flip_heat = make_heatmaps_np(j, h, w, stride=1, sigma=2.0)
-        return heat, [list(boxes) for _ in multipliers], flip_heat
+        return heat, [list(boxes) for _ in multipliers], flip_heat, None
 
     orig_run = ev._get_outputs
     ev._get_outputs = stub_get_outputs
@@ -206,9 +206,10 @@ def test_coco_eval_sharding_and_merge(synthetic_coco, tmp_path):
     # stub the per-image network+grouping: emit GT-derived persons so the
     # sharding/merge bookkeeping is isolated
     ev._get_outputs = lambda mult, img, bucket=64, with_flip=False: \
-        (None, [[]], None)
+        (None, [[]], None, None)
 
-    def finish(orig_heat, flip_heat, orig_bbox, img_h, name, img_id):
+    def finish(orig_heat, flip_heat, orig_bbox, img_h, name, img_id,
+               peaks=None):
         out = []
         for ann in gt_idx.img_to_anns[img_id]:
             out.append({"image_id": img_id, "category_id": 1,
