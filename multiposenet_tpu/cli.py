@@ -191,6 +191,10 @@ def cmd_coco_eval(args):
         ev.cfg = dataclasses.replace(
             ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
                                              device_peaks=False))
+    if args.host_image_resize:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
+                                             device_image_resize=False))
     ev.coco_eval(max_images=args.max_images,
                  result_file=args.result_file, bucket=args.bucket,
                  shard=shard, skip_metrics=shard != (0, 1))
@@ -303,6 +307,10 @@ def main(argv=None):
                     help="fetch the averaged heatmap and find peaks on the "
                          "host (reference y-major peak order) instead of "
                          "finding them on device after the multi-scale fold")
+    pc.add_argument("--host-image-resize", action="store_true",
+                    help="build the multi-scale image pyramid with host cv2 "
+                         "resizes (one upload per scale) instead of on "
+                         "device from one uploaded original")
     pc.add_argument("--eval-shard", default=None, metavar="I:N",
                     help="process only image slice i::n (run one worker per "
                          "chip/host, then `cli merge-results`)")

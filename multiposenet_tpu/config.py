@@ -175,6 +175,11 @@ class EvalConfig:
     # False = fetch the averaged map and run the host (reference-exact
     # y-major-ordered) peak finder
     device_peaks: bool = True
+    # with device_resize, build the multi-scale image pyramid ON DEVICE from
+    # one uploaded original (classic cv2 INTER_LINEAR taps, <=1 u8 LSB vs
+    # the host chain) instead of uploading ~26 MB of host-resized scales per
+    # image.  False = host cv2 resize + per-scale upload
+    device_image_resize: bool = True
     testdata_dir: str = "./demo/test_images/"
     testresult_dir: str = "./demo/output/"
     write_image: bool = False

@@ -32,6 +32,7 @@ from multiposenet_tpu.eval.grouping import group_peaks, to_coco_order
 from multiposenet_tpu.eval.multiscale import (
     SWAP_HEAT_18,
     average_flip_heat,
+    crop_shape_only,
     crop_with_factor,
     get_multipliers,
     joint_list_from_heatmaps,
@@ -105,7 +106,8 @@ class Evaluator:
         self._prn_assign_jit = None
         self._accum_jit = None
         self._fold_jit = None
-        self._fold_peaks_jit = None
+        self._accum_fold_peaks_jit = None
+        self._resize_mat_cache: Dict[Tuple, Tuple] = {}
 
     # ------------------------------------------------------------------
 
@@ -178,31 +180,41 @@ class Evaluator:
             self._fold_jit = fold
         return self._fold_jit
 
-    def fold_peaks_fn(self):
-        """Cached jit of fold + ON-DEVICE peak finding on the padded running
-        sum: divide by #scales, un-flip + channel-swap average the mirror map
-        (about the DYNAMIC valid width), zero the pad region, and run the
-        device peak finder — so only compact (J, P) peak arrays leave the
-        device instead of a full-resolution float map (22 MB and 0.5-1 s per
-        image on a remote runtime).
+    def accum_fold_peaks_fn(self):
+        """Cached jit of the WHOLE post-forward multi-scale reduction as one
+        exec: every scale's cv2-exact bicubic resize-to-original (two MXU
+        matmuls each), the sum, the /n + flip fold (mirror about the DYNAMIC
+        valid width, channel swap), pad masking, and ON-DEVICE peak finding
+        — so per image a single small dispatch replaces 5 accum execs + a
+        fold exec (each paying per-exec overhead on a padded full-res
+        buffer), and only compact (J, P) peak arrays leave the device
+        instead of a full-resolution float map (22 MB and 0.5-1 s per image
+        on a remote runtime).
 
-        The valid size (h, w) is a traced scalar, so there is ONE compile per
-        padded bucket shape (the same set `precompile` already warms) rather
-        than one per distinct original image size.  Peaks land directly in
-        original-image coordinates; border-window semantics are the
-        documented ops/peaks.py deviation (<=1px within 2px of the border)."""
-        if self._fold_peaks_jit is None:
+        The valid size (h, w) is a traced scalar, so there is ONE compile
+        per (scale-shape combo, padded bucket) — a bounded set `precompile`
+        warms — rather than one per distinct original image size.  Peaks
+        land directly in original-image coordinates; border-window
+        semantics are the documented ops/peaks.py deviation (<=1px within
+        2px of the border)."""
+        if self._accum_fold_peaks_jit is None:
             import functools
             from multiposenet_tpu.ops.peaks import find_peaks_refined
             swap = jnp.asarray(SWAP_HEAT_18)
             thre1 = self.cfg.peaks.thre1
             max_peaks = self.cfg.peaks.max_peaks_per_joint
             win = self.cfg.peaks.win_size
+            hi = jax.lax.Precision.HIGHEST
 
-            @functools.partial(jax.jit, static_argnums=(3,))
-            def fold_peaks(avg, h, w, with_flip, inv_n):
-                hp, wp = avg.shape[1], avg.shape[2]
-                v = avg * inv_n
+            @functools.partial(jax.jit, static_argnums=(4,))
+            def run(hms, mats, h, w, with_flip, inv_n):
+                acc = None
+                for hm, (rh, rwt) in zip(hms, mats):
+                    r = jnp.einsum("oh,bhwc,wx->boxc", rh, hm, rwt,
+                                   precision=hi)
+                    acc = r if acc is None else acc + r
+                hp, wp = acc.shape[1], acc.shape[2]
+                v = acc * inv_n
                 if with_flip:
                     # mirror about the valid width w (dynamic): original
                     # column x lives at flipped-map column w-1-x; columns
@@ -216,8 +228,113 @@ class Evaluator:
                 heat = jnp.where(mask[:, :, None], heat, 0.0)
                 return find_peaks_refined(heat, thre1, max_peaks,
                                           upsamp_factor=1, win_size=win)
-            self._fold_peaks_jit = fold_peaks
-        return self._fold_peaks_jit
+            self._accum_fold_peaks_jit = run
+        return self._accum_fold_peaks_jit
+
+    def _pyramid_fn(self, out_shapes, with_flip: bool):
+        """Cached jit building the WHOLE multi-scale image pyramid on device
+        from one uploaded original: per scale, a vertical + horizontal
+        gather-lerp with cv2's classic INTER_LINEAR taps/weights (host-
+        computed exactly in float64, ops/resize.linear_resize_coeffs),
+        round-to-u8, and 128-fill of the pad region; the flip batch row
+        reuses the vertical pass and mirrors only the horizontal gather
+        indices (exactly equal to resizing the pre-flipped image).
+
+        Replaces ~26 MB of per-image host-resized scale uploads (the
+        dominant main-thread cost on remote runtimes) with one ~1 MB
+        original + ~50 KB of coefficients.  Within 1 u8 LSB of the host cv2
+        chain (tests/test_eval.py)."""
+        jits = self.__dict__.setdefault("_pyramid_jits", {})
+        key = (tuple(out_shapes), bool(with_flip))
+        if key not in jits:
+            def run(src, ipack, wpack, dims):
+                srcf = src.astype(jnp.float32)
+                outs = []
+                io = wo = 0
+                for k, (dh, dw) in enumerate(out_shapes):
+                    iy0 = ipack[io:io + dh]
+                    iy1 = ipack[io + dh:io + 2 * dh]
+                    io += 2 * dh
+                    ix0 = ipack[io:io + dw]
+                    ix1 = ipack[io + dw:io + 2 * dw]
+                    io += 2 * dw
+                    if with_flip:
+                        ix0f = ipack[io:io + dw]
+                        ix1f = ipack[io + dw:io + 2 * dw]
+                        io += 2 * dw
+                    wy = wpack[wo:wo + dh]
+                    wx = wpack[wo + dh:wo + dh + dw]
+                    wo += dh + dw
+                    g = (srcf[iy0] * wy[:, None, None]
+                         + srcf[iy1] * (1.0 - wy)[:, None, None])
+
+                    def horiz(a0, a1):
+                        return (g[:, a0] * wx[None, :, None]
+                                + g[:, a1] * (1.0 - wx)[None, :, None])
+
+                    imgs = [horiz(ix0, ix1)]
+                    if with_flip:
+                        imgs.append(horiz(ix0f, ix1f))
+                    b = jnp.stack(imgs)
+                    b = jnp.clip(jnp.floor(b + 0.5), 0.0, 255.0
+                                 ).astype(jnp.uint8)
+                    valid = ((jnp.arange(dh)[:, None] < dims[k, 0])
+                             & (jnp.arange(dw)[None, :] < dims[k, 1]))
+                    outs.append(jnp.where(valid[None, :, :, None], b,
+                                          jnp.uint8(128)))
+                return tuple(outs)
+            jits[key] = jax.jit(run)
+        return jits[key]
+
+    def _pyramid_host_args(self, h: int, w: int, dests, bucket: int,
+                           with_flip: bool):
+        """Packed coefficient buffers + per-scale metadata for
+        `_pyramid_fn`, cached per (image size, scale set).  Returns
+        (ipack int32, wpack float32, dims (S, 2) int32,
+        metas: ((DH, DW), (rh, rw), im_scale) per scale)."""
+        from multiposenet_tpu.ops.resize import linear_resize_coeffs
+        cache = self.__dict__.setdefault("_pyramid_args_cache", {})
+        key = (h, w, tuple(round(float(d), 6) for d in dests), bucket,
+               bool(with_flip))
+        if key not in cache:
+            ints, flts, dims, metas = [], [], [], []
+
+            def pad_to(a, n):
+                return np.pad(a, (0, n - len(a)))
+
+            for dest in dests:
+                (dh, dw), im_scale, (rh, rw) = crop_shape_only(
+                    (h, w), dest, factor=32, bucket=bucket)
+                iy0, iy1, wy = linear_resize_coeffs(h, rh)
+                ix0, ix1, wx = linear_resize_coeffs(w, rw)
+                ints += [pad_to(iy0, dh), pad_to(iy1, dh),
+                         pad_to(ix0, dw), pad_to(ix1, dw)]
+                if with_flip:
+                    # img_f[x] == img[w-1-x]: mirroring the gather indices
+                    # IS resizing the flipped original
+                    ints += [pad_to(w - 1 - ix0, dw),
+                             pad_to(w - 1 - ix1, dw)]
+                flts += [pad_to(wy, dh), pad_to(wx, dw)]
+                dims.append((rh, rw))
+                metas.append(((dh, dw), (rh, rw), im_scale))
+            cache[key] = (np.concatenate(ints).astype(np.int32),
+                          np.concatenate(flts).astype(np.float32),
+                          np.asarray(dims, np.int32), tuple(metas))
+        return cache[key]
+
+    def _resize_mats_dev(self, s4h, s4w, real_h, real_w, h, w, hp, wp):
+        """Device-resident resize matrices, cached across images — the same
+        (scale, original) shape pair recurs for every image in a bucket, and
+        re-uploading ~1.5 MB of constant matrices per image costs real time
+        on remote runtimes."""
+        from multiposenet_tpu.ops.resize import heatmap_resize_mats
+        cache = self.__dict__.setdefault("_resize_mat_cache", {})
+        key = (s4h, s4w, real_h, real_w, h, w, hp, wp)
+        if key not in cache:
+            rh, rwt = heatmap_resize_mats(s4h, s4w, real_h, real_w, h, w,
+                                          hp, wp)
+            cache[key] = (jnp.asarray(rh), jnp.asarray(rwt))
+        return cache[key]
 
     # ------------------------------------------------------------------
 
@@ -370,42 +487,75 @@ class Evaluator:
                 self.pipeline(hw, with_peaks=False)(self.params, dummy))
 
         if self.cfg.eval.device_resize:
-            # warm the resize+accumulate graphs: one per unique
-            # (scale-bucket shape, padded-original shape) pair
             pad_to = max(bucket, 1)
-            pairs = set()
+            pairs = set()    # (s4h, s4w, hp, wp) per scale
+            combos = set()   # ((s4h, s4w), ...) x (hp, wp) per image shape
             for h, w in image_shapes:
                 h, w = int(h), int(w)
                 hp = -(-h // pad_to) * pad_to
                 wp = -(-w // pad_to) * pad_to
+                scale_shapes = []
                 for m in get_multipliers(h, self.cfg.eval.inp_size,
                                          self.cfg.eval.scale_search):
                     dummy_im = np.zeros((h, w, 3), np.uint8)
                     cropped, _, _ = crop_with_factor(
                         dummy_im, m * h, factor=32, pad_val=128, bucket=bucket)
-                    pairs.add((cropped.shape[0] // 4, cropped.shape[1] // 4,
-                               hp, wp))
-            accum = self.accum_fn()
-            for i, (s4h, s4w, hp, wp) in enumerate(sorted(pairs)):
-                logger.info("precompile resize %d/%d: (%d,%d)->(%d,%d)",
-                            i + 1, len(pairs), s4h, s4w, hp, wp)
-                jax.block_until_ready(accum(
-                    jnp.zeros((bs, hp, wp, 18), jnp.float32),
-                    jnp.zeros((bs, s4h, s4w, 18), jnp.float32),
-                    jnp.zeros((hp, s4h), jnp.float32),
-                    jnp.zeros((s4w, wp), jnp.float32)))
+                    s4 = (cropped.shape[0] // 4, cropped.shape[1] // 4)
+                    scale_shapes.append(s4)
+                    pairs.add(s4 + (hp, wp))
+                combos.add((tuple(scale_shapes), hp, wp))
             if self.cfg.eval.device_peaks:
-                # one fold+peaks compile per padded bucket shape (the valid
-                # (h, w) is a traced scalar, so these cover every image)
-                fold_peaks = self.fold_peaks_fn()
-                folds = sorted({(hp, wp) for (_, _, hp, wp) in pairs})
-                for i, (hp, wp) in enumerate(folds):
-                    logger.info("precompile fold+peaks %d/%d: (%d,%d)",
-                                i + 1, len(folds), hp, wp)
-                    jax.block_until_ready(fold_peaks(
+                # warm the fused resize+sum+fold+peaks exec: one compile per
+                # (scale-shape combo, padded bucket); the valid (h, w) is a
+                # traced scalar so these cover every image in the bucket
+                fused = self.accum_fold_peaks_fn()
+                for i, (scales, hp, wp) in enumerate(sorted(combos)):
+                    logger.info("precompile fused fold %d/%d: %s->(%d,%d)",
+                                i + 1, len(combos), scales, hp, wp)
+                    hms = tuple(jnp.zeros((bs, sh, sw, 18), jnp.float32)
+                                for sh, sw in scales)
+                    mats = tuple((jnp.zeros((hp, sh), jnp.float32),
+                                  jnp.zeros((sw, wp), jnp.float32))
+                                 for sh, sw in scales)
+                    jax.block_until_ready(fused(
+                        hms, mats, jnp.int32(hp), jnp.int32(wp),
+                        self.cfg.eval.flip, jnp.float32(1.0)))
+            else:
+                # warm the per-scale resize+accumulate graphs: one per
+                # unique (scale-bucket shape, padded-original shape) pair
+                accum = self.accum_fn()
+                for i, (s4h, s4w, hp, wp) in enumerate(sorted(pairs)):
+                    logger.info("precompile resize %d/%d: (%d,%d)->(%d,%d)",
+                                i + 1, len(pairs), s4h, s4w, hp, wp)
+                    jax.block_until_ready(accum(
                         jnp.zeros((bs, hp, wp, 18), jnp.float32),
-                        jnp.int32(hp), jnp.int32(wp), self.cfg.eval.flip,
-                        jnp.float32(1.0)))
+                        jnp.zeros((bs, s4h, s4w, 18), jnp.float32),
+                        jnp.zeros((hp, s4h), jnp.float32),
+                        jnp.zeros((s4w, wp), jnp.float32)))
+            if self.cfg.eval.device_image_resize:
+                # warm the on-device pyramid builder: one compile per
+                # (padded original bucket, scale-shape combo)
+                warmed = set()
+                for h, w in sorted({(int(a), int(b))
+                                    for a, b in image_shapes}):
+                    dests = [m * h for m in get_multipliers(
+                        h, self.cfg.eval.inp_size,
+                        self.cfg.eval.scale_search)]
+                    ipack, wpack, dims, metas = self._pyramid_host_args(
+                        h, w, dests, bucket, self.cfg.eval.flip)
+                    hp = -(-h // pad_to) * pad_to
+                    wp = -(-w // pad_to) * pad_to
+                    ckey = ((hp, wp), tuple(mm[0] for mm in metas))
+                    if ckey in warmed:
+                        continue
+                    warmed.add(ckey)
+                    logger.info("precompile pyramid: (%d,%d)->%s", hp, wp,
+                                ckey[1])
+                    jax.block_until_ready(self._pyramid_fn(
+                        ckey[1], self.cfg.eval.flip)(
+                        jnp.zeros((hp, wp, 3), jnp.uint8),
+                        jnp.asarray(ipack), jnp.asarray(wpack),
+                        jnp.asarray(dims)))
         # PRN stage (single fixed shape): the fused PRN+grouping graph when
         # device grouping is on, the bare PRN pipeline otherwise
         maxb = self.cfg.prn.max_people
@@ -481,15 +631,14 @@ class Evaluator:
             bbox_all.append((dboxes[0][keep] / im_scale).tolist())
         return heat_avg, bbox_all, flip_avg, None
 
-    def _get_outputs_device(self, multipliers: List[float], img: np.ndarray,
-                            bucket: int = 64, with_flip: bool = False):
-        """_get_outputs with the resize+average chain on the TPU: the
-        stride-4 heatmaps never reach the host; each scale adds its cv2-exact
-        bicubic-to-original resize (ops/resize.heatmap_resize_mats) into a
-        running device sum, and a single padded (nb, Hp, Wp, 18) map is
-        fetched per image.  On the one-core eval host this removes the
-        100-800 ms/image cv2 chain from the critical path."""
-        from multiposenet_tpu.ops.resize import heatmap_resize_mats
+    def _dispatch_image_device(self, multipliers: List[float],
+                               img: np.ndarray, bucket: int = 64,
+                               with_flip: bool = False):
+        """Enqueue ALL of one image's device work (async, no fetch): the
+        per-scale pipeline forwards, then — with device peaks — ONE fused
+        resize+sum+fold+peaks exec (`accum_fold_peaks_fn`); without, the
+        per-scale accum chain + fold.  The stride-4 heatmaps never reach
+        the host.  Returns an opaque handle for `_fetch_image_device`."""
         h, w = img.shape[:2]
         pad_to = max(bucket, 1)
         hp = -(-h // pad_to) * pad_to
@@ -497,45 +646,80 @@ class Evaluator:
         nb = 2 if with_flip else 1
         img_f = img[:, ::-1, :] if with_flip else None
 
-        avg = jnp.zeros((nb, hp, wp, 18), jnp.float32)
+        use_fused = self.cfg.eval.device_peaks
+        use_pyr = self.cfg.eval.device_image_resize
+        hms, mats = [], []
+        avg = None if use_fused else jnp.zeros((nb, hp, wp, 18), jnp.float32)
+        accum = None if use_fused else self.accum_fn()
         det_pending = []
-        accum = self.accum_fn()
-        for m in multipliers:
-            inp_size = m * img.shape[0]
-            cropped, im_scale, real_shape = crop_with_factor(
-                img, inp_size, factor=32, pad_val=128, bucket=bucket)
-            batch = [cropped[:, :, ::-1]]
-            if with_flip:
-                cropped_f, _, _ = crop_with_factor(
-                    img_f, inp_size, factor=32, pad_val=128, bucket=bucket)
-                batch.append(cropped_f[:, :, ::-1])
-            out = self.pipeline(cropped.shape[:2], with_peaks=False)(
-                self.params, jnp.asarray(np.stack(batch)))
-            rh, rwt = heatmap_resize_mats(
-                cropped.shape[0] // 4, cropped.shape[1] // 4,
-                real_shape[0], real_shape[1], h, w, hp, wp)
-            avg = accum(avg, out.heatmaps, jnp.asarray(rh), jnp.asarray(rwt))
+
+        if use_pyr:
+            # ONE ~1 MB upload (padded original, RGB) + ~50 KB of packed
+            # resize coefficients; the whole scale pyramid (and its flip
+            # rows) is built on device in one exec
+            dests = [m * img.shape[0] for m in multipliers]
+            ipack, wpack, dims, metas = self._pyramid_host_args(
+                h, w, dests, bucket, with_flip)
+            src = np.zeros((hp, wp, 3), np.uint8)
+            src[:h, :w] = img[:, :, ::-1]
+            batches = self._pyramid_fn(
+                tuple(mm[0] for mm in metas), with_flip)(
+                jnp.asarray(src), jnp.asarray(ipack), jnp.asarray(wpack),
+                jnp.asarray(dims))
+            scales = [(mm[0], batch, mm[1], mm[2])
+                      for mm, batch in zip(metas, batches)]
+        else:
+            scales = []
+            for m in multipliers:
+                inp_size = m * img.shape[0]
+                cropped, im_scale, real_shape = crop_with_factor(
+                    img, inp_size, factor=32, pad_val=128, bucket=bucket)
+                batch = [cropped[:, :, ::-1]]
+                if with_flip:
+                    cropped_f, _, _ = crop_with_factor(
+                        img_f, inp_size, factor=32, pad_val=128,
+                        bucket=bucket)
+                    batch.append(cropped_f[:, :, ::-1])
+                scales.append((cropped.shape[:2],
+                               jnp.asarray(np.stack(batch)),
+                               real_shape[:2], im_scale))
+
+        for hw2, batch, real_shape, im_scale in scales:
+            out = self.pipeline(hw2, with_peaks=False)(self.params, batch)
+            rm = self._resize_mats_dev(
+                hw2[0] // 4, hw2[1] // 4, real_shape[0], real_shape[1],
+                h, w, hp, wp)
+            if use_fused:
+                hms.append(out.heatmaps)
+                mats.append(rm)
+            else:
+                avg = accum(avg, out.heatmaps, rm[0], rm[1])
             det_pending.append((out.detections, im_scale))
 
         inv_n = jnp.float32(1.0 / len(multipliers))
-        if self.cfg.eval.device_peaks:
-            # fold + peak finding on device: only compact (J, P) peak
-            # arrays cross the wire (vs a 0.5-1 s full-map fetch per image
-            # on remote runtimes)
-            pk = self.fold_peaks_fn()(avg, jnp.int32(h), jnp.int32(w),
-                                      with_flip, inv_n)
+        if use_fused:
+            pk = self.accum_fold_peaks_fn()(
+                tuple(hms), tuple(mats), jnp.int32(h), jnp.int32(w),
+                with_flip, inv_n)
+            return ("peaks", pk, det_pending)
+        heat = self.fold_fn()(avg, h, w, with_flip, inv_n)
+        return ("heat", heat, det_pending)
+
+    def _fetch_image_device(self, handle):
+        """One batched device_get for everything `_dispatch_image_device`
+        enqueued; returns the `_get_outputs` 4-tuple."""
+        kind, obj, det_pending = handle
+        if kind == "peaks":
             fetched = jax.device_get(
-                [(pk.coords, pk.scores, pk.valid)]
+                [(obj.coords, obj.scores, obj.valid)]
                 + [(d.scores, d.boxes) for d, _ in det_pending])
             peaks = tuple(np.asarray(a) for a in fetched[0])
             heat_avg = None
         else:
-            # fold (crop + /n + flip-average) on device: ONE (h, w, 18) map
-            # crosses the wire per image; flip_heat is returned as None so
-            # _finish_image knows the flip is already folded in
-            heat = self.fold_fn()(avg, h, w, with_flip, inv_n)
+            # flip_heat is returned as None so _finish_image knows the flip
+            # is already folded in
             fetched = jax.device_get(
-                [heat] + [(d.scores, d.boxes) for d, _ in det_pending])
+                [obj] + [(d.scores, d.boxes) for d, _ in det_pending])
             heat_avg = np.asarray(fetched[0], np.float32)
             peaks = None
         bbox_all = []
@@ -543,6 +727,11 @@ class Evaluator:
             keep = dscores[0] > self.cfg.detection.test_score_thresh
             bbox_all.append((dboxes[0][keep] / im_scale).tolist())
         return heat_avg, bbox_all, None, peaks
+
+    def _get_outputs_device(self, multipliers: List[float], img: np.ndarray,
+                            bucket: int = 64, with_flip: bool = False):
+        return self._fetch_image_device(self._dispatch_image_device(
+            multipliers, img, bucket=bucket, with_flip=with_flip))
 
     def _finish_image(self, orig_heat, flip_heat, orig_bbox, img_h,
                       name, img_id, peaks=None) -> List[Dict]:
@@ -597,11 +786,19 @@ class Evaluator:
             logger.info("eval shard %d/%d: %d images", shard[0], shard[1],
                         len(img_ids))
 
-        # pipeline images: the device/scale dispatches for image n+1 run
-        # while a background worker does image n's host-bound post-processing
-        # (flip averaging, scipy peak hunt on full-res maps, PRN grouping).
-        # Depth is bounded so at most 2 images' full-res heatmaps are alive.
+        # pipeline images: the main thread only reads/preps/dispatches; a
+        # background worker does EVERYTHING blocking for image n — the
+        # batched device fetch, peak bookkeeping, PRN grouping — while image
+        # n+1's device dispatches are already enqueued, so neither the
+        # device nor the fetch round-trip ever idles the dispatch loop.
+        # Depth is bounded so at most ~3 images' device buffers are alive.
         from concurrent.futures import ThreadPoolExecutor
+
+        def fetch_and_finish(handle, img_h, name, img_id):
+            heat, bbox, flip, peaks = self._fetch_image_device(handle)
+            return self._finish_image(heat, flip, bbox, img_h, name, img_id,
+                                      peaks)
+
         results = []
         futures = []
         with ThreadPoolExecutor(max_workers=1) as pool:
@@ -612,11 +809,18 @@ class Evaluator:
                 ori = cv2.imread(os.path.join(img_dir, name))
                 mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
                                        cfg.eval.scale_search)
-                orig_heat, orig_bbox, flip_heat, peaks = self._get_outputs(
-                    mult, ori, bucket=bucket, with_flip=cfg.eval.flip)
-                futures.append(pool.submit(
-                    self._finish_image, orig_heat, flip_heat, orig_bbox,
-                    ori.shape[0], name, img_id, peaks))
+                if cfg.eval.device_resize:
+                    handle = self._dispatch_image_device(
+                        mult, ori, bucket=bucket, with_flip=cfg.eval.flip)
+                    futures.append(pool.submit(
+                        fetch_and_finish, handle, ori.shape[0], name, img_id))
+                else:
+                    orig_heat, orig_bbox, flip_heat, peaks = \
+                        self._get_outputs(mult, ori, bucket=bucket,
+                                          with_flip=cfg.eval.flip)
+                    futures.append(pool.submit(
+                        self._finish_image, orig_heat, flip_heat, orig_bbox,
+                        ori.shape[0], name, img_id, peaks))
                 while len(futures) > 2:
                     results.extend(futures.pop(0).result())
                 if (n + 1) % 50 == 0:

@@ -31,6 +31,23 @@ def _factor_closest(num: float, factor: int, is_ceil: bool = True) -> int:
     return int(num) * factor
 
 
+def crop_shape_only(shape_hw: Tuple[int, int], dest_size: float,
+                    factor: int = 32, basedon: str = "min",
+                    bucket: int = 0) -> Tuple[Tuple[int, int], float,
+                                              Tuple[int, int]]:
+    """`crop_with_factor`'s shape arithmetic without touching pixels:
+    returns (padded (H, W), im_scale, real (H, W)).  Destination size uses
+    cv2's rounding (round-half-to-even of dim * scale)."""
+    h, w = int(shape_hw[0]), int(shape_hw[1])
+    base = {"min": min(h, w), "max": max(h, w), "w": w, "h": h}[basedon]
+    im_scale = float(dest_size) / base
+    rh = int(np.round(h * im_scale))
+    rw = int(np.round(w * im_scale))
+    eff = max(factor, bucket)
+    return (_factor_closest(rh, eff), _factor_closest(rw, eff)), \
+        im_scale, (rh, rw)
+
+
 def crop_with_factor(im: np.ndarray, dest_size: float, factor: int = 32,
                      pad_val: int = 0, basedon: str = "min",
                      bucket: int = 0) -> Tuple[np.ndarray, float, Tuple]:
@@ -40,6 +57,13 @@ def crop_with_factor(im: np.ndarray, dest_size: float, factor: int = 32,
     bounded set of padded shapes reaches the jitted graph (XLA recompiles per
     shape; the reference pays a cudnn re-tune instead).  The valid region is
     returned so padding never leaks into results.
+
+    The resize passes an explicit dsize (round-half-to-even of dim * scale,
+    identical sizes to the reference's fx/fy call) rather than fx/fy: on
+    cv2 5.x+IPP the fx-form dispatches an IPP kernel whose pixels differ
+    from cv2's own classic bilinear by up to ~100 u8 levels, while the
+    dsize-form keeps the classic 2-tap path the 2018-era reference
+    produced (and which ops/resize.linear_resize_coeffs reproduces).
     """
     im_size_min = np.min(im.shape[0:2])
     im_size_max = np.max(im.shape[0:2])
@@ -47,7 +71,9 @@ def crop_with_factor(im: np.ndarray, dest_size: float, factor: int = 32,
             "w": im.shape[1], "h": im.shape[0]}[basedon]
     im_scale = float(dest_size) / base
 
-    im = cv2.resize(im, None, fx=im_scale, fy=im_scale)
+    rh = int(np.round(im.shape[0] * im_scale))
+    rw = int(np.round(im.shape[1] * im_scale))
+    im = cv2.resize(im, (rw, rh))
     h, w = im.shape[:2]
     eff = max(factor, bucket)
     new_h, new_w = _factor_closest(h, eff), _factor_closest(w, eff)

@@ -52,6 +52,41 @@ def cubic_resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return g32
 
 
+@functools.lru_cache(maxsize=1024)
+def linear_resize_coeffs(ssize: int, dsize: int):
+    """cv2 INTER_LINEAR tap indices + quantized weights along one axis.
+
+    Per dst position j: source coordinate (j + 0.5) * ssize/dsize - 0.5
+    (float64), 2 taps clamped to [0, ssize-1] with cv2's edge handling
+    (sx < 0 -> weight 1 on tap 0; sx >= ssize-1 -> weight 1 on tap 1), and
+    the tap-0 weight quantized to cv2's 1/2048 fixed-point grid.  Verified
+    against cv2's own per-position tables via impulse probes; final-rounding
+    differences vs cv2 builds are <=1 u8 LSB (cv2's own IPP vs scalar paths
+    differ by the same amount).
+
+    Returns (i0, i1, w0): int32 (dsize,), int32 (dsize,), float32 (dsize,)
+    with the tap-1 weight = 1 - w0.
+    """
+    scale = ssize / dsize
+    i0 = np.empty(dsize, np.int32)
+    i1 = np.empty(dsize, np.int32)
+    w0 = np.empty(dsize, np.float32)
+    for j in range(dsize):
+        s = (j + 0.5) * scale - 0.5
+        sx = int(np.floor(s))
+        f = s - sx
+        if sx < 0:
+            sx, f = 0, 0.0
+        if sx >= ssize - 1:
+            sx, f = ssize - 2, 1.0
+        i0[j] = max(sx, 0)
+        i1[j] = min(sx + 1, ssize - 1)
+        w0[j] = np.round((1.0 - f) * 2048.0) / 2048.0
+    for a in (i0, i1, w0):
+        a.flags.writeable = False
+    return i0, i1, w0
+
+
 @functools.lru_cache(maxsize=256)
 def heatmap_resize_mats(s4_h: int, s4_w: int, real_h: int, real_w: int,
                         orig_h: int, orig_w: int,

@@ -340,7 +340,7 @@ def test_get_outputs_device_peaks_matches_host_joint_list():
         ev.cfg = dataclasses.replace(
             ev.cfg, eval=dataclasses.replace(ev.cfg.eval, device_resize=True,
                                              device_peaks=device_peaks))
-        for name in ("accum_fn", "fold_fn", "fold_peaks_fn"):
+        for name in ("accum_fn", "fold_fn", "accum_fold_peaks_fn"):
             setattr(ev, "_" + name.replace("_fn", "") + "_jit", None)
             setattr(ev, name,
                     (lambda n: lambda: getattr(Evaluator, n)(ev))(name))
@@ -388,3 +388,89 @@ def test_get_outputs_device_peaks_matches_host_joint_list():
     assert host_set.keys() == dev_set.keys()
     for k in host_set:
         np.testing.assert_allclose(host_set[k], dev_set[k], atol=2e-4)
+
+
+def test_crop_shape_only_matches_crop_with_factor():
+    from multiposenet_tpu.eval.multiscale import crop_shape_only
+    rng = np.random.RandomState(7)
+    for _ in range(40):
+        h, w = rng.randint(40, 700), rng.randint(40, 700)
+        dest = float(rng.uniform(30, 1300))
+        bucket = int(rng.choice([0, 64, 128]))
+        img = np.zeros((h, w, 3), np.uint8)
+        padded, scale, real = crop_with_factor(img, dest, factor=32,
+                                               pad_val=128, bucket=bucket)
+        (ph, pw), scale2, real2 = crop_shape_only((h, w), dest, factor=32,
+                                                  bucket=bucket)
+        assert (ph, pw) == padded.shape[:2], (h, w, dest, bucket)
+        assert abs(scale - scale2) < 1e-12
+        assert real[:2] == real2
+
+
+def test_linear_resize_coeffs_match_cv2():
+    """Gather-lerp with linear_resize_coeffs == cv2.resize dsize-form
+    (classic bilinear) within 1 u8 LSB."""
+    import cv2
+    from multiposenet_tpu.ops.resize import linear_resize_coeffs
+    rng = np.random.RandomState(3)
+    for _ in range(8):
+        sh, sw = rng.randint(30, 500), rng.randint(30, 500)
+        dh, dw = rng.randint(20, 700), rng.randint(20, 700)
+        img = rng.randint(0, 256, (sh, sw, 3), np.uint8)
+        ref = cv2.resize(img, (dw, dh), interpolation=cv2.INTER_LINEAR)
+        iy0, iy1, wy = linear_resize_coeffs(sh, dh)
+        ix0, ix1, wx = linear_resize_coeffs(sw, dw)
+        f = img.astype(np.float32)
+        g = f[iy0] * wy[:, None, None] + f[iy1] * (1 - wy)[:, None, None]
+        o = g[:, ix0] * wx[None, :, None] + g[:, ix1] * (1 - wx)[None, :, None]
+        got = np.clip(np.floor(o + 0.5), 0, 255).astype(np.uint8)
+        d = np.abs(ref.astype(int) - got.astype(int))
+        assert d.max() <= 1, (sh, sw, dh, dw, d.max())
+
+
+def test_device_pyramid_matches_host_chain():
+    """The on-device pyramid (one upload + gather-lerp) must equal the host
+    crop_with_factor chain within 1 u8 LSB for both the normal and flip
+    rows, with exact 128 padding."""
+    import dataclasses
+    from multiposenet_tpu.config import Config
+    from multiposenet_tpu.engine.evaluator import Evaluator
+
+    cfg = Config()
+    ev = Evaluator.__new__(Evaluator)
+    ev.cfg = cfg
+
+    rng = np.random.RandomState(11)
+    for h, w in [(160, 224), (237, 189)]:
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)  # BGR like imread
+        img_f = img[:, ::-1, :]
+        bucket = 64
+        mult = get_multipliers(h, 128, (0.5, 1.0, 1.7))
+        dests = [m * h for m in mult]
+        ipack, wpack, dims, metas = ev._pyramid_host_args(
+            h, w, dests, bucket, True)
+        pad_to = 64
+        hp = -(-h // pad_to) * pad_to
+        wp = -(-w // pad_to) * pad_to
+        src = np.zeros((hp, wp, 3), np.uint8)
+        src[:h, :w] = img[:, :, ::-1]
+        batches = ev._pyramid_fn(tuple(m2[0] for m2 in metas), True)(
+            jnp.asarray(src), jnp.asarray(ipack), jnp.asarray(wpack),
+            jnp.asarray(dims))
+        for dest, ((dh, dw), (rh, rw), im_scale), got in zip(
+                dests, metas, batches):
+            ref, scale_ref, real_ref = crop_with_factor(
+                img, dest, factor=32, pad_val=128, bucket=bucket)
+            ref_f, _, _ = crop_with_factor(
+                img_f, dest, factor=32, pad_val=128, bucket=bucket)
+            assert (dh, dw) == ref.shape[:2]
+            assert (rh, rw) == real_ref[:2]
+            assert abs(im_scale - scale_ref) < 1e-12
+            got = np.asarray(got)
+            for row, r in ((0, ref), (1, ref_f)):
+                d = np.abs(got[row].astype(int)
+                           - r[:, :, ::-1].astype(int))  # ref is BGR
+                assert d.max() <= 1, (dest, row, d.max())
+                # pad region exact
+                assert (got[row, rh:, :] == 128).all()
+                assert (got[row, :, rw:] == 128).all()

@@ -82,7 +82,10 @@ def test_coco_eval_machinery(synthetic_coco):
     import dataclasses
     cfg = dataclasses.replace(
         cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
-                                      scale_search=(0.5, 1.0, 1.5)))
+                                      scale_search=(0.5, 1.0, 1.5),
+                                      # route through the stubbed
+                                      # _get_outputs host path
+                                      device_resize=False))
     model = PoseNet(cfg.model)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
@@ -200,8 +203,11 @@ def test_coco_eval_sharding_and_merge(synthetic_coco, tmp_path):
 
     img_dir, ann_file, gt = synthetic_coco
     gt_idx = COCOIndex(dataset=gt)
+    import dataclasses
     cfg = Config(model=ModelConfig(backbone="resnet50"),
                  data=DataConfig(inp_size=128))
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, device_resize=False))
     ev = Evaluator(cfg)
     # stub the per-image network+grouping: emit GT-derived persons so the
     # sharding/merge bookkeeping is isolated
@@ -245,3 +251,87 @@ def test_coco_eval_sharding_and_merge(synthetic_coco, tmp_path):
     ev2 = KeypointEval(gt_idx, dt, img_ids=gt_idx.get_img_ids(cat_ids=[1]))
     m2 = ev2.evaluate()
     assert abs(m2["AP"] - metrics_full["AP"]) < 1e-9
+
+
+def test_coco_eval_device_path(synthetic_coco):
+    """coco_eval through the pipelined DEVICE path: only the network forward
+    is stubbed (GT-derived stride-4 heatmaps + boxes per scale).  Real:
+    the fused on-device resize+sum+fold+peaks exec, the dispatch/fetch
+    image pipelining (worker thread), device PRN grouping, COCO reorder,
+    and the OKS evaluator."""
+    import dataclasses
+    import types
+    from multiposenet_tpu.eval.multiscale import get_multipliers
+
+    img_dir, ann_file, gt = synthetic_coco
+    cfg = Config(model=ModelConfig(backbone="resnet50"),
+                 data=DataConfig(inp_size=128))
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                      scale_search=(0.5, 1.0), flip=False))
+    assert cfg.eval.device_resize and cfg.eval.device_peaks
+    model = PoseNet(cfg.model)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17)),
+        method=PoseNet.init_all)
+    ev = Evaluator(cfg, model, variables)
+
+    by_id = {}
+    gt_idx = COCOIndex(dataset=gt)
+    for img_rec in gt["images"]:
+        joints18, boxes = [], []
+        for ann in gt_idx.img_to_anns[img_rec["id"]]:
+            j17 = np.asarray(ann["keypoints"], np.float64).reshape(17, 3)
+            j17[:, 2] = np.where(j17[:, 2] == 2, 1.0, 2.0)
+            joints18.append(add_neck(j17))
+            b = ann["bbox"]
+            boxes.append([b[0], b[1], b[0] + b[2], b[1] + b[3]])
+        by_id[img_rec["id"]] = (np.stack(joints18), boxes,
+                                (img_rec["height"], img_rec["width"]))
+
+    call_state = {"img_id": None, "call": 0}
+
+    def stub_pipeline(hw, with_peaks=True):
+        assert not with_peaks
+        def run(params, batch):
+            joints, boxes, (h, w) = by_id[call_state["img_id"]]
+            mults = get_multipliers(h, cfg.eval.inp_size,
+                                    cfg.eval.scale_search)
+            m = mults[call_state["call"] % len(mults)]
+            call_state["call"] += 1
+            im_scale = (m * h) / min(h, w)
+            bs = batch.shape[0]
+            j = joints.copy()
+            j[:, :, :2] *= im_scale   # joints in the resized (cropped) frame
+            hm = make_heatmaps_np(j, hw[0] // 4, hw[1] // 4, stride=4,
+                                  sigma=6.0)
+            nb = len(boxes)
+            bx = np.zeros((bs, nb, 4), np.float32)
+            bx[:] = np.asarray(boxes, np.float32) * im_scale
+            sc = np.full((bs, nb), 0.9, np.float32)
+            return types.SimpleNamespace(
+                heatmaps=jnp.asarray(np.repeat(hm[None], bs, 0)),
+                detections=types.SimpleNamespace(
+                    scores=jnp.asarray(sc), boxes=jnp.asarray(bx)))
+        return run
+
+    ev.pipeline = stub_pipeline
+
+    real_loadimgs = COCOIndex.load_imgs
+
+    def tracking_load_imgs(self, ids):
+        out = real_loadimgs(self, ids)
+        if isinstance(ids, int) and ids in by_id:
+            call_state["img_id"] = ids
+            call_state["call"] = 0
+        return out
+
+    COCOIndex.load_imgs = tracking_load_imgs
+    try:
+        metrics = ev.coco_eval(ann_file=ann_file, img_dir=img_dir)
+    finally:
+        COCOIndex.load_imgs = real_loadimgs
+
+    assert metrics, "no detections produced"
+    assert metrics["AP"] > 0.8, metrics
