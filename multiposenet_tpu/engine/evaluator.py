@@ -107,7 +107,9 @@ class Evaluator:
         self._accum_jit = None
         self._fold_jit = None
         self._accum_fold_peaks_jit = None
-        self._resize_mat_cache: Dict[Tuple, Tuple] = {}
+        # device-buffer caches (_resize_mat_cache, _pyramid_jits,
+        # _pyramid_args_cache) are created lazily via __dict__.setdefault in
+        # their accessors so tests built with Evaluator.__new__ work too
 
     # ------------------------------------------------------------------
 
@@ -163,19 +165,25 @@ class Evaluator:
         return self._accum_jit
 
     def fold_fn(self):
-        """Cached jit of the final fold: crop the padded running sum to the
-        original resolution, divide by #scales, and (with flip) average in
-        the un-flipped, channel-swapped mirror map (reference
-        tester.py:318-331) — so only ONE (H, W, 18) map leaves the device."""
+        """Cached jit of the final fold on the padded running sum: divide by
+        #scales and (with flip) average in the un-flipped, channel-swapped
+        mirror map about the DYNAMIC valid width (reference
+        tester.py:318-331) — so only ONE padded (Hp, Wp, 18) map leaves the
+        device and the host crops to (h, w).  The valid size is a traced
+        scalar: ONE compile per padded bucket, not one per image size."""
         if self._fold_jit is None:
             import functools
             swap = jnp.asarray(SWAP_HEAT_18)
 
-            @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+            @functools.partial(jax.jit, static_argnums=(3,))
             def fold(avg, h, w, with_flip, inv_n):
-                v = avg[:, :h, :w, :] * inv_n
+                wp = avg.shape[2]
+                v = avg * inv_n
                 if with_flip:
-                    return (v[0] + v[1, :, ::-1, :][:, :, swap]) / 2.0
+                    # mirror about the valid width w; columns >= w carry
+                    # garbage and are cropped away on host
+                    cols = jnp.clip(w - 1 - jnp.arange(wp), 0, wp - 1)
+                    return (v[0] + v[1][:, cols, :][:, :, swap]) / 2.0
                 return v[0]
             self._fold_jit = fold
         return self._fold_jit
@@ -289,11 +297,12 @@ class Evaluator:
     def _pyramid_host_args(self, h: int, w: int, dests, bucket: int,
                            with_flip: bool):
         """Packed coefficient buffers + per-scale metadata for
-        `_pyramid_fn`, cached per (image size, scale set).  Returns
-        (ipack int32, wpack float32, dims (S, 2) int32,
-        metas: ((DH, DW), (rh, rw), im_scale) per scale)."""
+        `_pyramid_fn`, LRU-cached per (image size, scale set) as
+        DEVICE-resident arrays.  Returns (ipack int32, wpack float32,
+        dims (S, 2) int32, metas: ((DH, DW), (rh, rw), im_scale))."""
+        from collections import OrderedDict
         from multiposenet_tpu.ops.resize import linear_resize_coeffs
-        cache = self.__dict__.setdefault("_pyramid_args_cache", {})
+        cache = self.__dict__.setdefault("_pyramid_args_cache", OrderedDict())
         key = (h, w, tuple(round(float(d), 6) for d in dests), bucket,
                bool(with_flip))
         if key not in cache:
@@ -317,23 +326,40 @@ class Evaluator:
                 flts += [pad_to(wy, dh), pad_to(wx, dw)]
                 dims.append((rh, rw))
                 metas.append(((dh, dw), (rh, rw), im_scale))
-            cache[key] = (np.concatenate(ints).astype(np.int32),
-                          np.concatenate(flts).astype(np.float32),
-                          np.asarray(dims, np.int32), tuple(metas))
+            # device-resident: images of the same size reuse the buffers
+            # without re-uploading ~50 KB each (LRU-bounded, tiny entries)
+            cache[key] = (jnp.asarray(np.concatenate(ints), jnp.int32),
+                          jnp.asarray(np.concatenate(flts), jnp.float32),
+                          jnp.asarray(np.asarray(dims, np.int32)),
+                          tuple(metas))
+            while len(cache) > self._DEV_CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(key)
         return cache[key]
 
+    # bound on device-resident cached buffers: ~256 resize-matrix pairs is
+    # ~0.4 GB HBM worst-case; evicted LRU so arbitrarily varied image sizes
+    # (full val2017 has hundreds) cannot accrete unboundedly
+    _DEV_CACHE_MAX = 256
+
     def _resize_mats_dev(self, s4h, s4w, real_h, real_w, h, w, hp, wp):
-        """Device-resident resize matrices, cached across images — the same
-        (scale, original) shape pair recurs for every image in a bucket, and
-        re-uploading ~1.5 MB of constant matrices per image costs real time
-        on remote runtimes."""
+        """Device-resident resize matrices, LRU-cached across images — the
+        same (scale, original) shape pair recurs for every image of a size,
+        and re-uploading ~1.5 MB of constant matrices per image costs real
+        time on remote runtimes."""
+        from collections import OrderedDict
         from multiposenet_tpu.ops.resize import heatmap_resize_mats
-        cache = self.__dict__.setdefault("_resize_mat_cache", {})
+        cache = self.__dict__.setdefault("_resize_mat_cache", OrderedDict())
         key = (s4h, s4w, real_h, real_w, h, w, hp, wp)
-        if key not in cache:
+        if key in cache:
+            cache.move_to_end(key)
+        else:
             rh, rwt = heatmap_resize_mats(s4h, s4w, real_h, real_w, h, w,
                                           hp, wp)
             cache[key] = (jnp.asarray(rh), jnp.asarray(rwt))
+            while len(cache) > self._DEV_CACHE_MAX:
+                cache.popitem(last=False)
         return cache[key]
 
     # ------------------------------------------------------------------
@@ -532,6 +558,13 @@ class Evaluator:
                         jnp.zeros((bs, s4h, s4w, 18), jnp.float32),
                         jnp.zeros((hp, s4h), jnp.float32),
                         jnp.zeros((s4w, wp), jnp.float32)))
+                # the fold takes traced (h, w): one compile per bucket
+                fold = self.fold_fn()
+                for hp, wp in sorted({(hp, wp) for (_, _, hp, wp) in pairs}):
+                    jax.block_until_ready(fold(
+                        jnp.zeros((bs, hp, wp, 18), jnp.float32),
+                        jnp.int32(hp), jnp.int32(wp), self.cfg.eval.flip,
+                        jnp.float32(1.0)))
             if self.cfg.eval.device_image_resize:
                 # warm the on-device pyramid builder: one compile per
                 # (padded original bucket, scale-shape combo)
@@ -554,8 +587,7 @@ class Evaluator:
                     jax.block_until_ready(self._pyramid_fn(
                         ckey[1], self.cfg.eval.flip)(
                         jnp.zeros((hp, wp, 3), jnp.uint8),
-                        jnp.asarray(ipack), jnp.asarray(wpack),
-                        jnp.asarray(dims)))
+                        ipack, wpack, dims))
         # PRN stage (single fixed shape): the fused PRN+grouping graph when
         # device grouping is on, the bare PRN pipeline otherwise
         maxb = self.cfg.prn.max_people
@@ -664,8 +696,7 @@ class Evaluator:
             src[:h, :w] = img[:, :, ::-1]
             batches = self._pyramid_fn(
                 tuple(mm[0] for mm in metas), with_flip)(
-                jnp.asarray(src), jnp.asarray(ipack), jnp.asarray(wpack),
-                jnp.asarray(dims))
+                jnp.asarray(src), ipack, wpack, dims)
             scales = [(mm[0], batch, mm[1], mm[2])
                       for mm, batch in zip(metas, batches)]
         else:
@@ -701,14 +732,15 @@ class Evaluator:
             pk = self.accum_fold_peaks_fn()(
                 tuple(hms), tuple(mats), jnp.int32(h), jnp.int32(w),
                 with_flip, inv_n)
-            return ("peaks", pk, det_pending)
-        heat = self.fold_fn()(avg, h, w, with_flip, inv_n)
-        return ("heat", heat, det_pending)
+            return ("peaks", pk, det_pending, (h, w))
+        heat = self.fold_fn()(avg, jnp.int32(h), jnp.int32(w), with_flip,
+                              inv_n)
+        return ("heat", heat, det_pending, (h, w))
 
     def _fetch_image_device(self, handle):
         """One batched device_get for everything `_dispatch_image_device`
         enqueued; returns the `_get_outputs` 4-tuple."""
-        kind, obj, det_pending = handle
+        kind, obj, det_pending, (h, w) = handle
         if kind == "peaks":
             fetched = jax.device_get(
                 [(obj.coords, obj.scores, obj.valid)]
@@ -717,10 +749,11 @@ class Evaluator:
             heat_avg = None
         else:
             # flip_heat is returned as None so _finish_image knows the flip
-            # is already folded in
+            # is already folded in; the padded map is cropped to the
+            # original resolution here on host
             fetched = jax.device_get(
                 [obj] + [(d.scores, d.boxes) for d, _ in det_pending])
-            heat_avg = np.asarray(fetched[0], np.float32)
+            heat_avg = np.asarray(fetched[0], np.float32)[:h, :w]
             peaks = None
         bbox_all = []
         for (dscores, dboxes), (_, im_scale) in zip(fetched[1:], det_pending):

@@ -65,21 +65,13 @@ def crop_with_factor(im: np.ndarray, dest_size: float, factor: int = 32,
     dsize-form keeps the classic 2-tap path the 2018-era reference
     produced (and which ops/resize.linear_resize_coeffs reproduces).
     """
-    im_size_min = np.min(im.shape[0:2])
-    im_size_max = np.max(im.shape[0:2])
-    base = {"min": im_size_min, "max": im_size_max,
-            "w": im.shape[1], "h": im.shape[0]}[basedon]
-    im_scale = float(dest_size) / base
-
-    rh = int(np.round(im.shape[0] * im_scale))
-    rw = int(np.round(im.shape[1] * im_scale))
+    (new_h, new_w), im_scale, (rh, rw) = crop_shape_only(
+        im.shape[:2], dest_size, factor=factor, basedon=basedon,
+        bucket=bucket)
     im = cv2.resize(im, (rw, rh))
-    h, w = im.shape[:2]
-    eff = max(factor, bucket)
-    new_h, new_w = _factor_closest(h, eff), _factor_closest(w, eff)
     shape = [new_h, new_w] if im.ndim < 3 else [new_h, new_w, im.shape[-1]]
     padded = np.full(shape, pad_val, dtype=im.dtype)
-    padded[:h, :w] = im
+    padded[:rh, :rw] = im
     return padded, im_scale, im.shape
 
 
