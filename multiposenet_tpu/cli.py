@@ -195,6 +195,10 @@ def cmd_coco_eval(args):
         ev.cfg = dataclasses.replace(
             ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
                                              device_image_resize=False))
+    if args.group_size is not None:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
+                                             group_size=args.group_size))
     ev.coco_eval(max_images=args.max_images,
                  result_file=args.result_file, bucket=args.bucket,
                  shard=shard, skip_metrics=shard != (0, 1))
@@ -248,6 +252,10 @@ def cmd_precompile(args):
         shapes = [(im["height"], im["width"])
                   for i in ids for im in gt.load_imgs(i)]
     _, ev = _load_eval(args)
+    if args.group_size is not None:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
+                                             group_size=args.group_size))
     compiled = ev.precompile(shapes, bucket=args.bucket)
     print(f"precompiled {len(compiled)} pipeline shapes: "
           + ", ".join(f"{h}x{w}" for h, w in compiled))
@@ -311,6 +319,10 @@ def main(argv=None):
                     help="build the multi-scale image pyramid with host cv2 "
                          "resizes (one upload per scale) instead of on "
                          "device from one uploaded original")
+    pc.add_argument("--group-size", type=int, default=None,
+                    help="batch up to N same-bucket images per device "
+                         "dispatch (1 = per-image; must match the value "
+                         "used with `precompile`)")
     pc.add_argument("--eval-shard", default=None, metavar="I:N",
                     help="process only image slice i::n (run one worker per "
                          "chip/host, then `cli merge-results`)")
@@ -331,6 +343,9 @@ def main(argv=None):
                          "(default: all val2017 person-image sizes)")
     pp.add_argument("--max-images", type=int, default=None)
     pp.add_argument("--bucket", type=int, default=64)
+    pp.add_argument("--group-size", type=int, default=None,
+                    help="warm the grouped-dispatch shapes for coco-eval "
+                         "--group-size N")
     pp.set_defaults(fn=cmd_precompile)
 
     pb = sub.add_parser("bench")

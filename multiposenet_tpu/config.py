@@ -180,6 +180,15 @@ class EvalConfig:
     # the host chain) instead of uploading ~26 MB of host-resized scales per
     # image.  False = host cv2 resize + per-scale upload
     device_image_resize: bool = True
+    # with the full device path, batch up to this many images whose bucketed
+    # scale shapes match into ONE set of dispatches (one pyramid exec, one
+    # forward per scale at batch group*2, one vmapped fold+peaks exec) so
+    # each exec's fixed overhead amortizes across the group.  Numerics are
+    # identical to per-image dispatches (batch rows are independent).
+    # Default 1 (per image): on v5e the multi-scale forwards are COMPUTE
+    # bound and grouping measured ~9% slower (docs/PERF.md); raise it on
+    # runtimes where fixed per-exec overhead dominates
+    group_size: int = 1
     testdata_dir: str = "./demo/test_images/"
     testresult_dir: str = "./demo/output/"
     write_image: bool = False

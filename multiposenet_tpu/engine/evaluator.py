@@ -188,16 +188,48 @@ class Evaluator:
             self._fold_jit = fold
         return self._fold_jit
 
+    def _fused_fold_peaks_body(self):
+        """Untraced body shared by the single-image and group jits: every
+        scale's cv2-exact bicubic resize-to-original (two MXU matmuls
+        each), the sum, the /n + flip fold (mirror about the DYNAMIC valid
+        width, channel swap), pad masking, and ON-DEVICE peak finding."""
+        from multiposenet_tpu.ops.peaks import find_peaks_refined
+        swap = jnp.asarray(SWAP_HEAT_18)
+        thre1 = self.cfg.peaks.thre1
+        max_peaks = self.cfg.peaks.max_peaks_per_joint
+        win = self.cfg.peaks.win_size
+        hi = jax.lax.Precision.HIGHEST
+
+        def run(hms, mats, h, w, with_flip, inv_n):
+            acc = None
+            for hm, (rh, rwt) in zip(hms, mats):
+                r = jnp.einsum("oh,bhwc,wx->boxc", rh, hm, rwt,
+                               precision=hi)
+                acc = r if acc is None else acc + r
+            hp, wp = acc.shape[1], acc.shape[2]
+            v = acc * inv_n
+            if with_flip:
+                # mirror about the valid width w (dynamic): original
+                # column x lives at flipped-map column w-1-x; columns
+                # >= w are garbage and zeroed by the mask below
+                cols = jnp.clip(w - 1 - jnp.arange(wp), 0, wp - 1)
+                heat = (v[0] + v[1][:, cols, :][:, :, swap]) / 2.0
+            else:
+                heat = v[0]
+            mask = ((jnp.arange(hp)[:, None] < h)
+                    & (jnp.arange(wp)[None, :] < w))
+            heat = jnp.where(mask[:, :, None], heat, 0.0)
+            return find_peaks_refined(heat, thre1, max_peaks,
+                                      upsamp_factor=1, win_size=win)
+        return run
+
     def accum_fold_peaks_fn(self):
         """Cached jit of the WHOLE post-forward multi-scale reduction as one
-        exec: every scale's cv2-exact bicubic resize-to-original (two MXU
-        matmuls each), the sum, the /n + flip fold (mirror about the DYNAMIC
-        valid width, channel swap), pad masking, and ON-DEVICE peak finding
-        — so per image a single small dispatch replaces 5 accum execs + a
-        fold exec (each paying per-exec overhead on a padded full-res
-        buffer), and only compact (J, P) peak arrays leave the device
-        instead of a full-resolution float map (22 MB and 0.5-1 s per image
-        on a remote runtime).
+        exec (`_fused_fold_peaks_body`) — so per image a single small
+        dispatch replaces 5 accum execs + a fold exec (each paying per-exec
+        overhead on a padded full-res buffer), and only compact (J, P) peak
+        arrays leave the device instead of a full-resolution float map
+        (22 MB and 0.5-1 s per image on a remote runtime).
 
         The valid size (h, w) is a traced scalar, so there is ONE compile
         per (scale-shape combo, padded bucket) — a bounded set `precompile`
@@ -207,37 +239,30 @@ class Evaluator:
         2px of the border)."""
         if self._accum_fold_peaks_jit is None:
             import functools
-            from multiposenet_tpu.ops.peaks import find_peaks_refined
-            swap = jnp.asarray(SWAP_HEAT_18)
-            thre1 = self.cfg.peaks.thre1
-            max_peaks = self.cfg.peaks.max_peaks_per_joint
-            win = self.cfg.peaks.win_size
-            hi = jax.lax.Precision.HIGHEST
+            self._accum_fold_peaks_jit = functools.partial(
+                jax.jit, static_argnums=(4,))(self._fused_fold_peaks_body())
+        return self._accum_fold_peaks_jit
+
+    def accum_fold_peaks_group_fn(self):
+        """Group variant of `accum_fold_peaks_fn`: the body vmapped over G
+        images that share one scale-shape signature.  `hms` arrive exactly
+        as the batched forwards produce them — (G*nb, s4h, s4w, 18) per
+        scale — and are reshaped to (G, nb, ...) inside the jit (a free
+        leading-dim view) so no extra device dispatch is spent splitting
+        the group."""
+        if getattr(self, "_accum_fold_peaks_group_jit", None) is None:
+            import functools
+            body = self._fused_fold_peaks_body()
 
             @functools.partial(jax.jit, static_argnums=(4,))
             def run(hms, mats, h, w, with_flip, inv_n):
-                acc = None
-                for hm, (rh, rwt) in zip(hms, mats):
-                    r = jnp.einsum("oh,bhwc,wx->boxc", rh, hm, rwt,
-                                   precision=hi)
-                    acc = r if acc is None else acc + r
-                hp, wp = acc.shape[1], acc.shape[2]
-                v = acc * inv_n
-                if with_flip:
-                    # mirror about the valid width w (dynamic): original
-                    # column x lives at flipped-map column w-1-x; columns
-                    # >= w are garbage and zeroed by the mask below
-                    cols = jnp.clip(w - 1 - jnp.arange(wp), 0, wp - 1)
-                    heat = (v[0] + v[1][:, cols, :][:, :, swap]) / 2.0
-                else:
-                    heat = v[0]
-                mask = ((jnp.arange(hp)[:, None] < h)
-                        & (jnp.arange(wp)[None, :] < w))
-                heat = jnp.where(mask[:, :, None], heat, 0.0)
-                return find_peaks_refined(heat, thre1, max_peaks,
-                                          upsamp_factor=1, win_size=win)
-            self._accum_fold_peaks_jit = run
-        return self._accum_fold_peaks_jit
+                g = h.shape[0]
+                hms = tuple(hm.reshape((g, -1) + hm.shape[1:]) for hm in hms)
+                return jax.vmap(
+                    lambda hm, mt, hh, ww: body(hm, mt, hh, ww, with_flip,
+                                                inv_n))(hms, mats, h, w)
+            self._accum_fold_peaks_group_jit = run
+        return self._accum_fold_peaks_group_jit
 
     def _pyramid_fn(self, out_shapes, with_flip: bool):
         """Cached jit building the WHOLE multi-scale image pyramid on device
@@ -255,57 +280,93 @@ class Evaluator:
         jits = self.__dict__.setdefault("_pyramid_jits", {})
         key = (tuple(out_shapes), bool(with_flip))
         if key not in jits:
-            def run(src, ipack, wpack, dims):
-                srcf = src.astype(jnp.float32)
-                outs = []
-                io = wo = 0
-                for k, (dh, dw) in enumerate(out_shapes):
-                    iy0 = ipack[io:io + dh]
-                    iy1 = ipack[io + dh:io + 2 * dh]
-                    io += 2 * dh
-                    ix0 = ipack[io:io + dw]
-                    ix1 = ipack[io + dw:io + 2 * dw]
-                    io += 2 * dw
-                    if with_flip:
-                        ix0f = ipack[io:io + dw]
-                        ix1f = ipack[io + dw:io + 2 * dw]
-                        io += 2 * dw
-                    wy = wpack[wo:wo + dh]
-                    wx = wpack[wo + dh:wo + dh + dw]
-                    wo += dh + dw
-                    g = (srcf[iy0] * wy[:, None, None]
-                         + srcf[iy1] * (1.0 - wy)[:, None, None])
+            jits[key] = jax.jit(self._pyramid_body(out_shapes, with_flip))
+        return jits[key]
 
-                    def horiz(a0, a1):
-                        return (g[:, a0] * wx[None, :, None]
-                                + g[:, a1] * (1.0 - wx)[None, :, None])
+    def _pyramid_group_fn(self, out_shapes, with_flip: bool):
+        """Group variant of `_pyramid_fn`: vmapped over G same-signature
+        images, each with its own coefficient packs, then flattened to the
+        (G*nb, dh, dw, 3) batches the grouped forwards consume — all in one
+        exec."""
+        jits = self.__dict__.setdefault("_pyramid_jits", {})
+        key = (tuple(out_shapes), bool(with_flip), "group")
+        if key not in jits:
+            body = self._pyramid_body(out_shapes, with_flip)
 
-                    imgs = [horiz(ix0, ix1)]
-                    if with_flip:
-                        imgs.append(horiz(ix0f, ix1f))
-                    b = jnp.stack(imgs)
-                    b = jnp.clip(jnp.floor(b + 0.5), 0.0, 255.0
-                                 ).astype(jnp.uint8)
-                    valid = ((jnp.arange(dh)[:, None] < dims[k, 0])
-                             & (jnp.arange(dw)[None, :] < dims[k, 1]))
-                    outs.append(jnp.where(valid[None, :, :, None], b,
-                                          jnp.uint8(128)))
-                return tuple(outs)
+            def run(srcs, ipacks, wpacks, dims):
+                outs = jax.vmap(body)(srcs, ipacks, wpacks, dims)
+                return tuple(o.reshape((-1,) + o.shape[2:]) for o in outs)
             jits[key] = jax.jit(run)
         return jits[key]
 
-    def _pyramid_host_args(self, h: int, w: int, dests, bucket: int,
-                           with_flip: bool):
-        """Packed coefficient buffers + per-scale metadata for
-        `_pyramid_fn`, LRU-cached per (image size, scale set) as
-        DEVICE-resident arrays.  Returns (ipack int32, wpack float32,
-        dims (S, 2) int32, metas: ((DH, DW), (rh, rw), im_scale))."""
+    def _pyramid_body(self, out_shapes, with_flip: bool):
+        def run(src, ipack, wpack, dims):
+            srcf = src.astype(jnp.float32)
+            outs = []
+            io = wo = 0
+            for k, (dh, dw) in enumerate(out_shapes):
+                iy0 = ipack[io:io + dh]
+                iy1 = ipack[io + dh:io + 2 * dh]
+                io += 2 * dh
+                ix0 = ipack[io:io + dw]
+                ix1 = ipack[io + dw:io + 2 * dw]
+                io += 2 * dw
+                if with_flip:
+                    ix0f = ipack[io:io + dw]
+                    ix1f = ipack[io + dw:io + 2 * dw]
+                    io += 2 * dw
+                wy = wpack[wo:wo + dh]
+                wx = wpack[wo + dh:wo + dh + dw]
+                wo += dh + dw
+                g = (srcf[iy0] * wy[:, None, None]
+                     + srcf[iy1] * (1.0 - wy)[:, None, None])
+
+                def horiz(a0, a1):
+                    return (g[:, a0] * wx[None, :, None]
+                            + g[:, a1] * (1.0 - wx)[None, :, None])
+
+                imgs = [horiz(ix0, ix1)]
+                if with_flip:
+                    imgs.append(horiz(ix0f, ix1f))
+                b = jnp.stack(imgs)
+                b = jnp.clip(jnp.floor(b + 0.5), 0.0, 255.0
+                             ).astype(jnp.uint8)
+                valid = ((jnp.arange(dh)[:, None] < dims[k, 0])
+                         & (jnp.arange(dw)[None, :] < dims[k, 1]))
+                outs.append(jnp.where(valid[None, :, :, None], b,
+                                      jnp.uint8(128)))
+            return tuple(outs)
+        return run
+
+    # bound on device-resident cached buffers: ~256 resize-matrix pairs is
+    # ~0.4 GB HBM worst-case; evicted LRU so arbitrarily varied image sizes
+    # (full val2017 has hundreds) cannot accrete unboundedly
+    _DEV_CACHE_MAX = 256
+
+    def _lru(self, name: str, key, make):
+        """Bounded LRU on self.__dict__[name] (setdefault so instances built
+        with Evaluator.__new__ in tests work too)."""
         from collections import OrderedDict
+        cache = self.__dict__.setdefault(name, OrderedDict())
+        if key in cache:
+            cache.move_to_end(key)
+        else:
+            cache[key] = make()
+            while len(cache) > self._DEV_CACHE_MAX:
+                cache.popitem(last=False)
+        return cache[key]
+
+    def _pyramid_args_np(self, h: int, w: int, dests, bucket: int,
+                         with_flip: bool):
+        """Packed host coefficient buffers + per-scale metadata for
+        `_pyramid_body`, LRU-cached per (image size, scale set).  Returns
+        (ipack int32, wpack float32, dims (S, 2) int32,
+        metas: ((DH, DW), (rh, rw), im_scale))."""
         from multiposenet_tpu.ops.resize import linear_resize_coeffs
-        cache = self.__dict__.setdefault("_pyramid_args_cache", OrderedDict())
         key = (h, w, tuple(round(float(d), 6) for d in dests), bucket,
                bool(with_flip))
-        if key not in cache:
+
+        def make():
             ints, flts, dims, metas = [], [], [], []
 
             def pad_to(a, n):
@@ -326,41 +387,62 @@ class Evaluator:
                 flts += [pad_to(wy, dh), pad_to(wx, dw)]
                 dims.append((rh, rw))
                 metas.append(((dh, dw), (rh, rw), im_scale))
-            # device-resident: images of the same size reuse the buffers
-            # without re-uploading ~50 KB each (LRU-bounded, tiny entries)
-            cache[key] = (jnp.asarray(np.concatenate(ints), jnp.int32),
-                          jnp.asarray(np.concatenate(flts), jnp.float32),
-                          jnp.asarray(np.asarray(dims, np.int32)),
-                          tuple(metas))
-            while len(cache) > self._DEV_CACHE_MAX:
-                cache.popitem(last=False)
-        else:
-            cache.move_to_end(key)
-        return cache[key]
+            return (np.concatenate(ints).astype(np.int32),
+                    np.concatenate(flts).astype(np.float32),
+                    np.asarray(dims, np.int32), tuple(metas))
+        return key, self._lru("_pyramid_np_cache", key, make)
 
-    # bound on device-resident cached buffers: ~256 resize-matrix pairs is
-    # ~0.4 GB HBM worst-case; evicted LRU so arbitrarily varied image sizes
-    # (full val2017 has hundreds) cannot accrete unboundedly
-    _DEV_CACHE_MAX = 256
+    def _pyramid_host_args(self, h: int, w: int, dests, bucket: int,
+                           with_flip: bool):
+        """`_pyramid_args_np` uploaded as DEVICE-resident arrays, LRU-cached
+        — images of the same size reuse the buffers without re-uploading
+        ~50 KB each."""
+        key, (ints, flts, dims, metas) = self._pyramid_args_np(
+            h, w, dests, bucket, with_flip)
+        return self._lru("_pyramid_args_cache", key, lambda: (
+            jnp.asarray(ints), jnp.asarray(flts), jnp.asarray(dims),
+            metas))
+
+    def _pyramid_group_args(self, sizes, dests_list, bucket: int,
+                            with_flip: bool):
+        """Stacked (G, ...) device-resident coefficient buffers + per-image
+        metas for a same-signature group, LRU-cached per group composition
+        (after signature sorting most groups are uniform-size, so this hits
+        one entry per common image size)."""
+        keys, packs = zip(*[self._pyramid_args_np(h, w, dests, bucket,
+                                                  with_flip)
+                            for (h, w), dests in zip(sizes, dests_list)])
+        metas = [p[3] for p in packs]
+        return self._lru("_pyramid_group_cache", tuple(keys), lambda: (
+            jnp.asarray(np.stack([p[0] for p in packs])),
+            jnp.asarray(np.stack([p[1] for p in packs])),
+            jnp.asarray(np.stack([p[2] for p in packs])))) + (metas,)
+
+    def _resize_mats_np(self, key):
+        """Host resize-matrix pair for one (scale, original) shape combo,
+        LRU-cached (shared source for the single and group device caches)."""
+        from multiposenet_tpu.ops.resize import heatmap_resize_mats
+        return self._lru("_resize_mat_np_cache", key,
+                         lambda: heatmap_resize_mats(*key))
 
     def _resize_mats_dev(self, s4h, s4w, real_h, real_w, h, w, hp, wp):
         """Device-resident resize matrices, LRU-cached across images — the
         same (scale, original) shape pair recurs for every image of a size,
         and re-uploading ~1.5 MB of constant matrices per image costs real
         time on remote runtimes."""
-        from collections import OrderedDict
-        from multiposenet_tpu.ops.resize import heatmap_resize_mats
-        cache = self.__dict__.setdefault("_resize_mat_cache", OrderedDict())
         key = (s4h, s4w, real_h, real_w, h, w, hp, wp)
-        if key in cache:
-            cache.move_to_end(key)
-        else:
-            rh, rwt = heatmap_resize_mats(s4h, s4w, real_h, real_w, h, w,
-                                          hp, wp)
-            cache[key] = (jnp.asarray(rh), jnp.asarray(rwt))
-            while len(cache) > self._DEV_CACHE_MAX:
-                cache.popitem(last=False)
-        return cache[key]
+        mats = self._resize_mats_np(key)
+        return self._lru("_resize_mat_cache", key, lambda: (
+            jnp.asarray(mats[0]), jnp.asarray(mats[1])))
+
+    def _resize_mats_group_dev(self, keys):
+        """Stacked (G, hp, s4h)/(G, s4w, wp) device-resident resize matrices
+        for one scale of a group, LRU-cached per group composition."""
+        def make():
+            mats = [self._resize_mats_np(k) for k in keys]
+            return (jnp.asarray(np.stack([m[0] for m in mats])),
+                    jnp.asarray(np.stack([m[1] for m in mats])))
+        return self._lru("_resize_mat_group_cache", tuple(keys), make)
 
     # ------------------------------------------------------------------
 
@@ -502,15 +584,26 @@ class Evaluator:
         compiled shape list.  The PRN stage is warmed too.
         """
         shapes = self.eval_shapes(image_shapes, bucket)
-        bs = 2 if self.cfg.eval.flip else 1   # flip rides in the same batch
+        nb = 2 if self.cfg.eval.flip else 1   # flip rides in the same batch
+        gs = self.cfg.eval.group_size
+        use_groups = (gs > 1 and self.cfg.eval.device_resize
+                      and self.cfg.eval.device_peaks
+                      and self.cfg.eval.device_image_resize)
+        # grouped eval always dispatches full groups (partial groups are
+        # padded by replication), so ONLY the gs*nb batch is ever compiled
+        bs = gs * nb if use_groups else nb
+        hm_dtype = jnp.float32
         for i, hw in enumerate(shapes):
             logger.info("precompile %d/%d: %dx%d (batch %d)",
                         i + 1, len(shapes), hw[0], hw[1], bs)
             # uint8, matching what _get_outputs uploads (dtype is part of
             # the compile key)
             dummy = jnp.full((bs, hw[0], hw[1], 3), 128, jnp.uint8)
-            jax.block_until_ready(
-                self.pipeline(hw, with_peaks=False)(self.params, dummy))
+            out = self.pipeline(hw, with_peaks=False)(self.params, dummy)
+            jax.block_until_ready(out)
+            # under --bf16 the heatmaps arrive in bfloat16; the fold warms
+            # below must match or the real eval cold-compiles anyway
+            hm_dtype = out.heatmaps.dtype
 
         if self.cfg.eval.device_resize:
             pad_to = max(bucket, 1)
@@ -534,17 +627,27 @@ class Evaluator:
                 # warm the fused resize+sum+fold+peaks exec: one compile per
                 # (scale-shape combo, padded bucket); the valid (h, w) is a
                 # traced scalar so these cover every image in the bucket
-                fused = self.accum_fold_peaks_fn()
+                fused = (self.accum_fold_peaks_group_fn() if use_groups
+                         else self.accum_fold_peaks_fn())
                 for i, (scales, hp, wp) in enumerate(sorted(combos)):
                     logger.info("precompile fused fold %d/%d: %s->(%d,%d)",
                                 i + 1, len(combos), scales, hp, wp)
-                    hms = tuple(jnp.zeros((bs, sh, sw, 18), jnp.float32)
+                    hms = tuple(jnp.zeros((bs, sh, sw, 18), hm_dtype)
                                 for sh, sw in scales)
-                    mats = tuple((jnp.zeros((hp, sh), jnp.float32),
-                                  jnp.zeros((sw, wp), jnp.float32))
-                                 for sh, sw in scales)
+                    if use_groups:
+                        mats = tuple(
+                            (jnp.zeros((gs, hp, sh), jnp.float32),
+                             jnp.zeros((gs, sw, wp), jnp.float32))
+                            for sh, sw in scales)
+                        hh = jnp.full((gs,), hp, jnp.int32)
+                        ww = jnp.full((gs,), wp, jnp.int32)
+                    else:
+                        mats = tuple((jnp.zeros((hp, sh), jnp.float32),
+                                      jnp.zeros((sw, wp), jnp.float32))
+                                     for sh, sw in scales)
+                        hh, ww = jnp.int32(hp), jnp.int32(wp)
                     jax.block_until_ready(fused(
-                        hms, mats, jnp.int32(hp), jnp.int32(wp),
+                        hms, mats, hh, ww,
                         self.cfg.eval.flip, jnp.float32(1.0)))
             else:
                 # warm the per-scale resize+accumulate graphs: one per
@@ -555,7 +658,7 @@ class Evaluator:
                                 i + 1, len(pairs), s4h, s4w, hp, wp)
                     jax.block_until_ready(accum(
                         jnp.zeros((bs, hp, wp, 18), jnp.float32),
-                        jnp.zeros((bs, s4h, s4w, 18), jnp.float32),
+                        jnp.zeros((bs, s4h, s4w, 18), hm_dtype),
                         jnp.zeros((hp, s4h), jnp.float32),
                         jnp.zeros((s4w, wp), jnp.float32)))
                 # the fold takes traced (h, w): one compile per bucket
@@ -574,10 +677,26 @@ class Evaluator:
                     dests = [m * h for m in get_multipliers(
                         h, self.cfg.eval.inp_size,
                         self.cfg.eval.scale_search)]
-                    ipack, wpack, dims, metas = self._pyramid_host_args(
-                        h, w, dests, bucket, self.cfg.eval.flip)
                     hp = -(-h // pad_to) * pad_to
                     wp = -(-w // pad_to) * pad_to
+                    if use_groups:
+                        ipacks, wpacks, dimss, metas = \
+                            self._pyramid_group_args(
+                                [(h, w)] * gs, [dests] * gs, bucket,
+                                self.cfg.eval.flip)
+                        ckey = ((hp, wp), tuple(mm[0] for mm in metas[0]))
+                        if ckey in warmed:
+                            continue
+                        warmed.add(ckey)
+                        logger.info("precompile pyramid: (%d,%d)->%s x%d",
+                                    hp, wp, ckey[1], gs)
+                        jax.block_until_ready(self._pyramid_group_fn(
+                            ckey[1], self.cfg.eval.flip)(
+                            jnp.zeros((gs, hp, wp, 3), jnp.uint8),
+                            ipacks, wpacks, dimss))
+                        continue
+                    ipack, wpack, dims, metas = self._pyramid_host_args(
+                        h, w, dests, bucket, self.cfg.eval.flip)
                     ckey = ((hp, wp), tuple(mm[0] for mm in metas))
                     if ckey in warmed:
                         continue
@@ -766,6 +885,92 @@ class Evaluator:
         return self._fetch_image_device(self._dispatch_image_device(
             multipliers, img, bucket=bucket, with_flip=with_flip))
 
+    # ------------------------------------------------------------------
+    # grouped multi-image dispatch (eval.group_size > 1)
+    # ------------------------------------------------------------------
+
+    def _group_signature(self, h: int, w: int, bucket: int):
+        """Scale-shape signature of an image: images with equal signatures
+        share every compiled shape in the device eval path and can ride one
+        batched dispatch (`_dispatch_group_device`)."""
+        pad_to = max(bucket, 1)
+        shapes = tuple(
+            crop_shape_only((h, w), m * h, factor=32, bucket=bucket)[0]
+            for m in get_multipliers(h, self.cfg.eval.inp_size,
+                                     self.cfg.eval.scale_search))
+        return shapes + ((-(-h // pad_to) * pad_to,
+                          -(-w // pad_to) * pad_to),)
+
+    def _dispatch_group_device(self, imgs: List[np.ndarray], bucket: int,
+                               with_flip: bool):
+        """Enqueue ALL device work for a GROUP of images sharing one scale-
+        shape signature: ONE batched pyramid exec, one forward per scale at
+        batch G*nb — so each forward's fixed per-exec overhead (~45 ms of
+        parameter-copy spans on this runtime, docs/PERF.md) amortizes over
+        the whole group — and ONE vmapped fused resize+sum+fold+peaks exec.
+        Requires the full device path (device_resize + device_peaks +
+        device_image_resize).  Numerics are identical to G single-image
+        dispatches: batch rows are independent through every stage.
+        Returns an opaque handle for `_fetch_group_device`."""
+        G = len(imgs)
+        nb = 2 if with_flip else 1
+        sizes = [img.shape[:2] for img in imgs]
+        sig = self._group_signature(*sizes[0], bucket)
+        assert all(self._group_signature(h, w, bucket) == sig
+                   for h, w in sizes[1:]), "group signature mismatch"
+        hp, wp = sig[-1]
+        dests_list = [[m * h for m in get_multipliers(
+            h, self.cfg.eval.inp_size, self.cfg.eval.scale_search)]
+            for h, _ in sizes]
+        ipacks, wpacks, dimss, metas = self._pyramid_group_args(
+            sizes, dests_list, bucket, with_flip)
+
+        srcs = np.zeros((G, hp, wp, 3), np.uint8)
+        for g, img in enumerate(imgs):
+            srcs[g, :img.shape[0], :img.shape[1]] = img[:, :, ::-1]
+        shapes = tuple(mm[0] for mm in metas[0])
+        batches = self._pyramid_group_fn(shapes, with_flip)(
+            jnp.asarray(srcs), ipacks, wpacks, dimss)
+
+        hms, mats, det_pending = [], [], []
+        for s, ((dh, dw), batch) in enumerate(zip(shapes, batches)):
+            out = self.pipeline((dh, dw), with_peaks=False)(
+                self.params, batch)
+            hms.append(out.heatmaps)
+            mats.append(self._resize_mats_group_dev(tuple(
+                (dh // 4, dw // 4, metas[g][s][1][0], metas[g][s][1][1],
+                 sizes[g][0], sizes[g][1], hp, wp) for g in range(G))))
+            det_pending.append(
+                (out.detections, [metas[g][s][2] for g in range(G)]))
+
+        inv_n = jnp.float32(1.0 / len(shapes))
+        hvec = jnp.asarray([h for h, _ in sizes], jnp.int32)
+        wvec = jnp.asarray([w for _, w in sizes], jnp.int32)
+        pk = self.accum_fold_peaks_group_fn()(
+            tuple(hms), tuple(mats), hvec, wvec, with_flip, inv_n)
+        return (pk, det_pending, sizes, nb)
+
+    def _fetch_group_device(self, handle):
+        """One batched device_get for everything `_dispatch_group_device`
+        enqueued; returns a list of per-image `_get_outputs` 4-tuples."""
+        pk, det_pending, sizes, nb = handle
+        fetched = jax.device_get(
+            [(pk.coords, pk.scores, pk.valid)]
+            + [(d.scores, d.boxes) for d, _ in det_pending])
+        coords, scores, valid = fetched[0]
+        outs = []
+        for g in range(len(sizes)):
+            bbox_all = []
+            for (dscores, dboxes), (_, im_scales) in zip(fetched[1:],
+                                                         det_pending):
+                keep = dscores[g * nb] > self.cfg.detection.test_score_thresh
+                bbox_all.append(
+                    (dboxes[g * nb][keep] / im_scales[g]).tolist())
+            peaks = (np.asarray(coords[g]), np.asarray(scores[g]),
+                     np.asarray(valid[g]))
+            outs.append((None, bbox_all, None, peaks))
+        return outs
+
     def _finish_image(self, orig_heat, flip_heat, orig_bbox, img_h,
                       name, img_id, peaks=None) -> List[Dict]:
         """Host post-processing for one image (reference tester.py:151-177):
@@ -820,11 +1025,11 @@ class Evaluator:
                         len(img_ids))
 
         # pipeline images: the main thread only reads/preps/dispatches; a
-        # background worker does EVERYTHING blocking for image n — the
-        # batched device fetch, peak bookkeeping, PRN grouping — while image
+        # background worker does EVERYTHING blocking for unit n — the
+        # batched device fetch, peak bookkeeping, PRN grouping — while unit
         # n+1's device dispatches are already enqueued, so neither the
         # device nor the fetch round-trip ever idles the dispatch loop.
-        # Depth is bounded so at most ~3 images' device buffers are alive.
+        # Depth is bounded so at most ~3 units' device buffers are alive.
         from concurrent.futures import ThreadPoolExecutor
 
         def fetch_and_finish(handle, img_h, name, img_id):
@@ -832,32 +1037,86 @@ class Evaluator:
             return self._finish_image(heat, flip, bbox, img_h, name, img_id,
                                       peaks)
 
+        def fetch_and_finish_group(handle, metas):
+            # metas covers the REAL images only; padded replica rows at the
+            # tail of the group are dropped
+            outs = self._fetch_group_device(handle)
+            res = []
+            for (heat, bbox, flip, peaks), (img_h, name, img_id) in zip(
+                    outs, metas):
+                res.extend(self._finish_image(heat, flip, bbox, img_h,
+                                              name, img_id, peaks))
+            return res
+
+        gs = cfg.eval.group_size
+        use_groups = (gs > 1 and cfg.eval.device_resize
+                      and cfg.eval.device_peaks
+                      and cfg.eval.device_image_resize)
+        if use_groups:
+            # sort by the json-recorded size so same-signature images
+            # arrive together (groups are still keyed on ACTUAL loaded
+            # sizes — a wrong json record only costs a padded flush)
+            recs = {r["id"]: r for r in gt.load_imgs(img_ids)}
+            img_ids = sorted(img_ids, key=lambda i: (
+                int(recs[i].get("height", 0)), int(recs[i].get("width", 0))))
+
         results = []
         futures = []
+        pending: Dict[Tuple, List] = {}  # sig -> [(img, h, name, id), ...]
         with ThreadPoolExecutor(max_workers=1) as pool:
+
+            def flush(sig):
+                group = pending.pop(sig)
+                imgs = [g[0] for g in group]
+                while len(imgs) < gs:
+                    # replicate the last image so only ONE group batch size
+                    # is ever compiled; replica results are dropped
+                    imgs.append(imgs[-1])
+                handle = self._dispatch_group_device(
+                    imgs, bucket=bucket, with_flip=cfg.eval.flip)
+                futures.append(pool.submit(
+                    fetch_and_finish_group, handle,
+                    [(g[1], g[2], g[3]) for g in group]))
+
             for n, img_id in enumerate(img_ids):
                 name = gt.load_imgs(img_id)[0]["file_name"]
                 # keep uint8: the reference resizes the u8 image per scale
                 # and normalizes on the cropped result (tester.py:285-291)
                 ori = cv2.imread(os.path.join(img_dir, name))
-                mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
-                                       cfg.eval.scale_search)
-                if cfg.eval.device_resize:
-                    handle = self._dispatch_image_device(
-                        mult, ori, bucket=bucket, with_flip=cfg.eval.flip)
-                    futures.append(pool.submit(
-                        fetch_and_finish, handle, ori.shape[0], name, img_id))
+                if use_groups:
+                    sig = self._group_signature(ori.shape[0], ori.shape[1],
+                                                bucket)
+                    # sorted arrival means any OTHER pending signature will
+                    # never fill — flush it (padded) to bound host memory
+                    for other in [s for s in pending if s != sig]:
+                        flush(other)
+                    pending.setdefault(sig, []).append(
+                        (ori, ori.shape[0], name, img_id))
+                    if len(pending[sig]) == gs:
+                        flush(sig)
                 else:
-                    orig_heat, orig_bbox, flip_heat, peaks = \
-                        self._get_outputs(mult, ori, bucket=bucket,
-                                          with_flip=cfg.eval.flip)
-                    futures.append(pool.submit(
-                        self._finish_image, orig_heat, flip_heat, orig_bbox,
-                        ori.shape[0], name, img_id, peaks))
+                    mult = get_multipliers(ori.shape[0], cfg.eval.inp_size,
+                                           cfg.eval.scale_search)
+                    if cfg.eval.device_resize:
+                        handle = self._dispatch_image_device(
+                            mult, ori, bucket=bucket,
+                            with_flip=cfg.eval.flip)
+                        futures.append(pool.submit(
+                            fetch_and_finish, handle, ori.shape[0], name,
+                            img_id))
+                    else:
+                        orig_heat, orig_bbox, flip_heat, peaks = \
+                            self._get_outputs(mult, ori, bucket=bucket,
+                                              with_flip=cfg.eval.flip)
+                        futures.append(pool.submit(
+                            self._finish_image, orig_heat, flip_heat,
+                            orig_bbox, ori.shape[0], name, img_id, peaks))
                 while len(futures) > 2:
                     results.extend(futures.pop(0).result())
                 if (n + 1) % 50 == 0:
                     logger.info("coco_eval %d/%d images", n + 1, len(img_ids))
+            for sig in list(pending):
+                flush(sig)
             for f in futures:
                 results.extend(f.result())
 

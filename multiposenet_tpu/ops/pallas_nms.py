@@ -93,11 +93,11 @@ def pallas_nms_suppress(sorted_boxes: jnp.ndarray, valid: jnp.ndarray,
     keep = pl.pallas_call(
         functools.partial(_nms_suppress_kernel, k=kp, thresh=float(iou_thresh)),
         out_shape=jax.ShapeDtypeStruct((1, kp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY
+                  pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY
+        out_specs=pl.BlockSpec(memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((kp, kp), jnp.float32),
                         pltpu.VMEM((1, kp), jnp.float32)],

@@ -390,6 +390,73 @@ def test_get_outputs_device_peaks_matches_host_joint_list():
         np.testing.assert_allclose(host_set[k], dev_set[k], atol=2e-4)
 
 
+def test_group_dispatch_matches_single():
+    """_dispatch_group_device must produce, per image, exactly what the
+    single-image device dispatch produces — batch rows are independent
+    through the pyramid, the forwards, and the vmapped fold+peaks."""
+    import dataclasses
+    import types
+    from multiposenet_tpu.config import Config
+    from multiposenet_tpu.engine.evaluator import Evaluator
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                      scale_search=(0.5, 1.0), flip=True,
+                                      group_size=2))
+    ev = _stub_evaluator(cfg)
+    ev.cfg = dataclasses.replace(
+        ev.cfg, eval=dataclasses.replace(ev.cfg.eval, device_resize=True,
+                                         device_peaks=True,
+                                         device_image_resize=True))
+    ev._accum_fold_peaks_jit = None
+
+    # content-dependent stub: heatmaps and detections are a pure function
+    # of each batch ROW, so any cross-row mixup in the grouped path shows
+    def pipeline(hw, with_peaks=True):
+        def run(params, batch):
+            b = np.asarray(batch, np.float32) / 255.0
+            bs, bh, bw, _ = b.shape
+            hm = b.reshape(bs, bh // 4, 4, bw // 4, 4, 3).mean((2, 4))
+            hm = np.concatenate([hm] * 6, axis=-1)
+            row_mean = b.mean((1, 2, 3))
+            boxes = (np.arange(1, 5, dtype=np.float32)[None, None]
+                     * np.ones((bs, 3, 1), np.float32)
+                     * (1.0 + row_mean)[:, None, None] * 10.0)
+            scores = (np.linspace(0.9, 0.3, 3, dtype=np.float32)[None]
+                      * (0.5 + row_mean)[:, None])
+            return types.SimpleNamespace(
+                heatmaps=jnp.asarray(hm.astype(np.float32)),
+                detections=types.SimpleNamespace(
+                    scores=jnp.asarray(scores.astype(np.float32)),
+                    boxes=jnp.asarray(boxes.astype(np.float32))))
+        return run
+    ev.pipeline = pipeline
+
+    def smooth_img(cy, cx):
+        yy, xx = np.mgrid[0:160, 0:224].astype(np.float32)
+        g = np.exp(-(((yy - cy) / 25.0) ** 2 + ((xx - cx) / 25.0) ** 2))
+        return np.clip(g * 255, 0, 255).astype(np.uint8)[
+            :, :, None].repeat(3, axis=2)
+
+    img_a, img_b = smooth_img(60, 80), smooth_img(100, 150)
+    mult = get_multipliers(160, cfg.eval.inp_size, cfg.eval.scale_search)
+    singles = [ev._get_outputs(mult, img, bucket=64, with_flip=True)
+               for img in (img_a, img_b)]
+
+    grouped = ev._fetch_group_device(ev._dispatch_group_device(
+        [img_a, img_b], bucket=64, with_flip=True))
+    assert len(grouped) == 2
+    for (sh, sb, _, sp), (gh, gb, _, gp) in zip(singles, grouped):
+        assert sh is None and gh is None
+        assert len(sb) == len(gb) == 2
+        for x, y in zip(sb, gb):
+            np.testing.assert_allclose(x, y, rtol=1e-6)
+        np.testing.assert_array_equal(sp[0], gp[0])          # coords
+        np.testing.assert_allclose(sp[1], gp[1], atol=1e-5)  # scores
+        np.testing.assert_array_equal(sp[2], gp[2])          # valid
+
+
 def test_crop_shape_only_matches_crop_with_factor():
     from multiposenet_tpu.eval.multiscale import crop_shape_only
     rng = np.random.RandomState(7)

@@ -268,7 +268,10 @@ def test_coco_eval_device_path(synthetic_coco):
                  data=DataConfig(inp_size=128))
     cfg = dataclasses.replace(
         cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
-                                      scale_search=(0.5, 1.0), flip=False))
+                                      scale_search=(0.5, 1.0), flip=False,
+                                      # the per-call-order stub below needs
+                                      # per-image dispatches
+                                      group_size=1))
     assert cfg.eval.device_resize and cfg.eval.device_peaks
     model = PoseNet(cfg.model)
     variables = model.init(
@@ -335,3 +338,114 @@ def test_coco_eval_device_path(synthetic_coco):
 
     assert metrics, "no detections produced"
     assert metrics["AP"] > 0.8, metrics
+
+
+def test_coco_eval_grouped_matches_ungrouped(tmp_path):
+    """coco_eval with group_size>1 (batched same-signature dispatches,
+    padded partial-group flush) must produce the same results as the
+    per-image device path.  Images are constant-valued so the stubbed
+    network can identify each batch row by content; two images share one
+    signature (a full group), a third has its own (a padded flush)."""
+    import dataclasses
+    import json
+    import types
+    from multiposenet_tpu.eval.multiscale import (crop_shape_only,
+                                                  get_multipliers)
+
+    root = str(tmp_path)
+    specs = {1: (160, 224, 40), 2: (160, 224, 80), 3: (144, 208, 120)}
+    imgs, anns = [], []
+    for img_id, (h, w, val) in specs.items():
+        cv2.imwrite(os.path.join(root, f"{img_id}.jpg"),
+                    np.full((h, w, 3), val, np.uint8))
+        imgs.append({"id": img_id, "height": h, "width": w,
+                     "file_name": f"{img_id}.jpg"})
+        kps = _person_kps(60, 70)
+        bbox = _bbox_from_kps(kps)
+        anns.append({"id": img_id, "image_id": img_id, "category_id": 1,
+                     "iscrowd": 0, "num_keypoints": 17,
+                     "area": bbox[2] * bbox[3], "bbox": bbox,
+                     "keypoints": kps})
+    gt = {"images": imgs, "categories": [{"id": 1, "name": "person"}],
+          "annotations": anns}
+    ann_file = os.path.join(root, "gt.json")
+    with open(ann_file, "w") as f:
+        json.dump(gt, f)
+
+    # jpeg is lossy but constant images round-trip exactly; trust nothing
+    by_val = {}
+    for img_id, (h, w, val) in specs.items():
+        got = cv2.imread(os.path.join(root, f"{img_id}.jpg"))
+        assert int(got[0, 0, 0]) == val, "constant image did not round-trip"
+        by_val[val] = img_id
+
+    gt_idx = COCOIndex(dataset=gt)
+    by_id = {}
+    for img_id, (h, w, _) in specs.items():
+        ann = gt_idx.img_to_anns[img_id][0]
+        j17 = np.asarray(ann["keypoints"], np.float64).reshape(17, 3)
+        j17[:, 2] = np.where(j17[:, 2] == 2, 1.0, 2.0)
+        b = ann["bbox"]
+        by_id[img_id] = (np.stack([add_neck(j17)]),
+                         [[b[0], b[1], b[0] + b[2], b[1] + b[3]]], (h, w))
+
+    def make_ev(group_size):
+        cfg = Config(model=ModelConfig(backbone="resnet50"),
+                     data=DataConfig(inp_size=128))
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                          scale_search=(0.5, 1.0),
+                                          flip=False,
+                                          group_size=group_size))
+        model = PoseNet(cfg.model)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17)),
+            method=PoseNet.init_all)
+        ev = Evaluator(cfg, model, variables)
+
+        def stub_pipeline(hw, with_peaks=True):
+            assert not with_peaks
+
+            def run(params, batch):
+                batch = np.asarray(batch)
+                hms, scs, bxs = [], [], []
+                for row in batch:
+                    img_id = by_val[int(row[0, 0, 0])]
+                    joints, boxes, (h, w) = by_id[img_id]
+                    m = next(m for m in get_multipliers(h, 128, (0.5, 1.0))
+                             if crop_shape_only((h, w), m * h, factor=32,
+                                                bucket=64)[0] == tuple(hw))
+                    im_scale = (m * h) / min(h, w)
+                    j = joints.copy()
+                    j[:, :, :2] *= im_scale
+                    hms.append(make_heatmaps_np(j, hw[0] // 4, hw[1] // 4,
+                                                stride=4, sigma=6.0))
+                    bxs.append(np.asarray(boxes, np.float32) * im_scale)
+                    scs.append(np.full((len(boxes),), 0.9, np.float32))
+                return types.SimpleNamespace(
+                    heatmaps=jnp.asarray(np.stack(hms)),
+                    detections=types.SimpleNamespace(
+                        scores=jnp.asarray(np.stack(scs)),
+                        boxes=jnp.asarray(np.stack(bxs))))
+            return run
+        ev.pipeline = stub_pipeline
+        return ev
+
+    res_g = os.path.join(root, "grouped.json")
+    res_s = os.path.join(root, "single.json")
+    m_g = make_ev(2).coco_eval(ann_file=ann_file, img_dir=root,
+                               result_file=res_g)
+    m_s = make_ev(1).coco_eval(ann_file=ann_file, img_dir=root,
+                               result_file=res_s)
+    assert m_g["AP"] > 0.8, m_g
+    assert abs(m_g["AP"] - m_s["AP"]) < 1e-9
+
+    with open(res_g) as f:
+        rg = sorted(json.load(f), key=lambda r: r["image_id"])
+    with open(res_s) as f:
+        rs = sorted(json.load(f), key=lambda r: r["image_id"])
+    assert [r["image_id"] for r in rg] == [r["image_id"] for r in rs]
+    for a, b in zip(rg, rs):
+        np.testing.assert_allclose(a["keypoints"], b["keypoints"], atol=1e-5)
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-6)
