@@ -340,19 +340,22 @@ class Evaluator:
 
     # bound on device-resident cached buffers: ~256 resize-matrix pairs is
     # ~0.4 GB HBM worst-case; evicted LRU so arbitrarily varied image sizes
-    # (full val2017 has hundreds) cannot accrete unboundedly
+    # (full val2017 has hundreds) cannot accrete unboundedly.  Group caches
+    # hold G-stacked entries and divide this bound by G (same budget)
     _DEV_CACHE_MAX = 256
 
-    def _lru(self, name: str, key, make):
+    def _lru(self, name: str, key, make, maxn: Optional[int] = None):
         """Bounded LRU on self.__dict__[name] (setdefault so instances built
-        with Evaluator.__new__ in tests work too)."""
+        with Evaluator.__new__ in tests work too).  `maxn` overrides the
+        default bound — group caches hold G-stacked entries and scale it
+        down by G so the HBM budget stays ~constant."""
         from collections import OrderedDict
         cache = self.__dict__.setdefault(name, OrderedDict())
         if key in cache:
             cache.move_to_end(key)
         else:
             cache[key] = make()
-            while len(cache) > self._DEV_CACHE_MAX:
+            while len(cache) > (maxn or self._DEV_CACHE_MAX):
                 cache.popitem(last=False)
         return cache[key]
 
@@ -416,7 +419,8 @@ class Evaluator:
         return self._lru("_pyramid_group_cache", tuple(keys), lambda: (
             jnp.asarray(np.stack([p[0] for p in packs])),
             jnp.asarray(np.stack([p[1] for p in packs])),
-            jnp.asarray(np.stack([p[2] for p in packs])))) + (metas,)
+            jnp.asarray(np.stack([p[2] for p in packs]))),
+            maxn=max(1, self._DEV_CACHE_MAX // len(keys))) + (metas,)
 
     def _resize_mats_np(self, key):
         """Host resize-matrix pair for one (scale, original) shape combo,
@@ -437,12 +441,14 @@ class Evaluator:
 
     def _resize_mats_group_dev(self, keys):
         """Stacked (G, hp, s4h)/(G, s4w, wp) device-resident resize matrices
-        for one scale of a group, LRU-cached per group composition."""
+        for one scale of a group, LRU-cached per group composition (bound
+        scaled down by G — entries are G-stacked)."""
         def make():
             mats = [self._resize_mats_np(k) for k in keys]
             return (jnp.asarray(np.stack([m[0] for m in mats])),
                     jnp.asarray(np.stack([m[1] for m in mats])))
-        return self._lru("_resize_mat_group_cache", tuple(keys), make)
+        return self._lru("_resize_mat_group_cache", tuple(keys), make,
+                         maxn=max(1, self._DEV_CACHE_MAX // len(keys)))
 
     # ------------------------------------------------------------------
 
@@ -586,9 +592,7 @@ class Evaluator:
         shapes = self.eval_shapes(image_shapes, bucket)
         nb = 2 if self.cfg.eval.flip else 1   # flip rides in the same batch
         gs = self.cfg.eval.group_size
-        use_groups = (gs > 1 and self.cfg.eval.device_resize
-                      and self.cfg.eval.device_peaks
-                      and self.cfg.eval.device_image_resize)
+        use_groups = self._use_groups()
         # grouped eval always dispatches full groups (partial groups are
         # padded by replication), so ONLY the gs*nb batch is ever compiled
         bs = gs * nb if use_groups else nb
@@ -889,6 +893,23 @@ class Evaluator:
     # grouped multi-image dispatch (eval.group_size > 1)
     # ------------------------------------------------------------------
 
+    def _use_groups(self) -> bool:
+        """Single source of truth for grouped-dispatch gating — precompile
+        and coco_eval MUST agree or eval cold-compiles a batch size the
+        warmup never saw.  Grouping needs the full device path; warn when
+        group_size>1 is being silently dropped by a host-* flag."""
+        e = self.cfg.eval
+        on = (e.group_size > 1 and e.device_resize and e.device_peaks
+              and e.device_image_resize)
+        if e.group_size > 1 and not on:
+            logger.warning(
+                "group_size=%d ignored: grouped dispatch needs the full "
+                "device path (device_resize/device_peaks/"
+                "device_image_resize); falling back to per-image "
+                "dispatches — a grouped precompile does NOT cover these",
+                e.group_size)
+        return on
+
     def _group_signature(self, h: int, w: int, bucket: int):
         """Scale-shape signature of an image: images with equal signatures
         share every compiled shape in the device eval path and can ride one
@@ -1049,9 +1070,7 @@ class Evaluator:
             return res
 
         gs = cfg.eval.group_size
-        use_groups = (gs > 1 and cfg.eval.device_resize
-                      and cfg.eval.device_peaks
-                      and cfg.eval.device_image_resize)
+        use_groups = self._use_groups()
         if use_groups:
             # sort by the json-recorded size so same-signature images
             # arrive together (groups are still keyed on ACTUAL loaded

@@ -457,6 +457,39 @@ def test_group_dispatch_matches_single():
         np.testing.assert_array_equal(sp[2], gp[2])          # valid
 
 
+def test_lru_bounds_and_group_gating():
+    """Device caches stay bounded (group caches divide the bound by G), and
+    the grouped-dispatch gate is a single shared predicate that returns
+    False (with a warning) when host-* flags disable the device path."""
+    import dataclasses
+    from multiposenet_tpu.config import Config
+    from multiposenet_tpu.engine.evaluator import Evaluator
+
+    ev = Evaluator.__new__(Evaluator)
+    for i in range(Evaluator._DEV_CACHE_MAX + 50):
+        ev._lru("_t_default", i, lambda i=i: i)
+    assert len(ev.__dict__["_t_default"]) == Evaluator._DEV_CACHE_MAX
+    for i in range(100):
+        ev._lru("_t_group", i, lambda i=i: i, maxn=8)
+    assert len(ev.__dict__["_t_group"]) == 8
+    # LRU: recently-used survives eviction
+    ev._lru("_t_group", 93, lambda: None)
+    ev._lru("_t_group", 200, lambda: None)
+    assert 93 in ev.__dict__["_t_group"]
+
+    cfg = Config()
+    ev.cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, group_size=4))
+    assert ev._use_groups() is True
+    ev.cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, group_size=4,
+                                      device_resize=False))
+    assert ev._use_groups() is False
+    ev.cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, group_size=1))
+    assert ev._use_groups() is False
+
+
 def test_crop_shape_only_matches_crop_with_factor():
     from multiposenet_tpu.eval.multiscale import crop_shape_only
     rng = np.random.RandomState(7)
