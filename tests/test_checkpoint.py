@@ -139,3 +139,151 @@ def test_converted_tree_matches_model_shapes(tmp_path):
     assert batch_stats["fpn"]["bn1"]["mean"].shape == (64,)
     assert params["prn"]["dens1"]["kernel"].shape == (34272, 1024)
     assert not skipped
+
+
+def _reference_torch_keys(blocks):
+    """Every parameter/buffer key a reference poseNet state_dict contains
+    (names from reference fpn.py:37-74, posenet.py:154-224; ResNet convs
+    carry no bias — BN follows each)."""
+    bn = ["weight", "bias", "running_mean", "running_var",
+          "num_batches_tracked"]
+    keys = ["fpn.conv1.weight"] + [f"fpn.bn1.{l}" for l in bn]
+    for li, n in enumerate(blocks, 1):
+        for b in range(n):
+            p = f"fpn.layer{li}.{b}"
+            for c in (1, 2, 3):
+                keys.append(f"{p}.conv{c}.weight")
+                keys += [f"{p}.bn{c}.{l}" for l in bn]
+            if b == 0:
+                keys.append(f"{p}.downsample.0.weight")
+                keys += [f"{p}.downsample.1.{l}" for l in bn]
+    for name in ["conv6", "conv7", "latlayer1", "latlayer2", "latlayer3",
+                 "toplayer0", "toplayer1", "toplayer2",
+                 "toplayer", "flatlayer1", "flatlayer2", "flatlayer3",
+                 "smooth1", "smooth2", "smooth3"]:
+        keys += [f"fpn.{name}.weight", f"fpn.{name}.bias"]
+    for name in ["convt1", "convt2", "convt3", "convt4",
+                 "convs1", "convs2", "convs3", "convs4",
+                 "conv2", "convfin",
+                 "convfin_k2", "convfin_k3", "convfin_k4", "convfin_k5"]:
+        keys += [f"{name}.weight", f"{name}.bias"]
+    for mod in ["regressionModel", "classificationModel"]:
+        for name in ["conv1", "conv2", "conv3", "conv4", "output"]:
+            keys += [f"{mod}.{name}.weight", f"{mod}.{name}.bias"]
+    for name in ["dens1", "bneck", "dens2"]:
+        keys += [f"prn.{name}.weight", f"prn.{name}.bias"]
+    return keys
+
+
+def test_full_reference_checkpoint_roundtrip(tmp_path):
+    """Convert a COMPLETE synthetic reference checkpoint (every state_dict
+    key a real ckpt_baseline_resnet101-style h5 contains, resnet50 sizes)
+    and require EXACT coverage of the model tree in both directions plus
+    value round-trip — the guarantee that a real baseline AP run never
+    hits a silently-missing or mistransposed weight."""
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    from convert_torch_ckpt import convert, torch_key_to_paths
+    from multiposenet_tpu.config import Config, ModelConfig
+    from multiposenet_tpu.models.posenet import PoseNet
+
+    cfg = Config(model=ModelConfig(backbone="resnet50"))
+    model = PoseNet(cfg.model)
+    ref = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17)),
+        method=PoseNet.init_all)
+
+    def leaf(tree, path):
+        for p in path:
+            if not isinstance(tree, dict) or p not in tree:
+                return None
+            tree = tree[p]
+        return tree
+
+    rng = np.random.RandomState(0)
+    written = {}
+    h5p = str(tmp_path / "full.h5")
+    with h5py.File(h5p, "w") as f:
+        for k in _reference_torch_keys([3, 4, 6, 3]):
+            mapped = torch_key_to_paths(k)
+            tleaf = k.rsplit(".", 1)[1]
+            if tleaf == "num_batches_tracked":
+                f.create_dataset(k, data=np.int64(1000))
+                continue
+            assert mapped is not None, f"unmapped reference key {k}"
+            path, mleaf = mapped
+            if mleaf == "weight":
+                v = leaf(ref["params"], path + ("kernel",))
+                if v is not None:       # conv or linear
+                    v = np.asarray(v)
+                    arr = (v.transpose(3, 2, 0, 1) if v.ndim == 4 else v.T)
+                else:                   # BN scale
+                    v = leaf(ref["params"], path + ("scale",))
+                    assert v is not None, f"no model leaf for {k} at {path}"
+                    arr = np.asarray(v)
+            elif mleaf == "bias":
+                v = leaf(ref["params"], path + ("bias",))
+                assert v is not None, f"no model bias for {k} at {path}"
+                arr = np.asarray(v)
+            elif mleaf in ("running_mean", "running_var"):
+                stat = "mean" if mleaf == "running_mean" else "var"
+                v = leaf(ref["batch_stats"], path + (stat,))
+                assert v is not None, f"no model batch-stat for {k}"
+                arr = np.asarray(v)
+            else:
+                raise AssertionError(k)
+            # distinct values so any transposition/mix-up shows
+            arr = arr + rng.rand(*arr.shape).astype(np.float32)
+            written[k] = arr
+            f.create_dataset(k, data=arr)
+
+    params, batch_stats, skipped = convert(h5p, backbone="resnet50")
+    assert not skipped, skipped
+
+    def walk(tree, prefix=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                yield from walk(v, prefix + (k,))
+            else:
+                yield prefix + (k,), v
+
+    # every model leaf covered, exact shape
+    for path, v in walk(ref["params"]):
+        g = leaf(params, path)
+        assert g is not None, f"converted tree missing params/{path}"
+        assert tuple(g.shape) == tuple(np.asarray(v).shape), path
+    for path, v in walk(ref["batch_stats"]):
+        g = leaf(batch_stats, path)
+        assert g is not None, f"converted tree missing batch_stats/{path}"
+        assert tuple(g.shape) == tuple(np.asarray(v).shape), path
+    # no extra leaves beyond the model tree
+    for path, _ in walk(params):
+        assert leaf(ref["params"], path) is not None, f"extra {path}"
+    for path, _ in walk(batch_stats):
+        assert leaf(ref["batch_stats"], path) is not None, f"extra {path}"
+
+    # value round-trip through the torch layout transposes
+    for k, arr in written.items():
+        path, mleaf = torch_key_to_paths(k)
+        if mleaf == "weight":
+            g = leaf(params, path + ("kernel",))
+            if g is not None:
+                back = (np.asarray(g).transpose(3, 2, 0, 1)
+                        if np.asarray(g).ndim == 4 else np.asarray(g).T)
+            else:
+                back = np.asarray(leaf(params, path + ("scale",)))
+        elif mleaf == "bias":
+            back = np.asarray(leaf(params, path + ("bias",)))
+        elif mleaf == "running_mean":
+            back = np.asarray(leaf(batch_stats, path + ("mean",)))
+        else:
+            back = np.asarray(leaf(batch_stats, path + ("var",)))
+        np.testing.assert_array_equal(back, arr, err_msg=k)
+
+    # the converted tree must be consumable by the real forward
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.zeros((1, 64, 64, 3)),
+                      method=PoseNet.full_forward)
+    assert out[0].shape == (1, 16, 16, 18)
