@@ -287,3 +287,95 @@ def test_full_reference_checkpoint_roundtrip(tmp_path):
                       jnp.zeros((1, 64, 64, 3)),
                       method=PoseNet.full_forward)
     assert out[0].shape == (1, 16, 16, 18)
+
+
+def test_torchvision_resnet_converter_covers_backbone(tmp_path):
+    """Convert a complete synthetic torchvision resnet50 state_dict (the
+    stage-1 ImageNet init, reference multipose_keypoint_train.py:73-75)
+    and require exact coverage of the backbone subtree of fpn/ — every
+    conv1/bn1/layerX_Y leaf present with the model's shape, fc skipped,
+    nothing else emitted."""
+    import jax
+    import jax.numpy as jnp
+    from convert_torchvision_resnet import convert, tv_key_to_paths
+    from multiposenet_tpu.config import Config, ModelConfig
+    from multiposenet_tpu.models.posenet import PoseNet
+
+    cfg = Config(model=ModelConfig(backbone="resnet50"))
+    model = PoseNet(cfg.model)
+    ref = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17)),
+        method=PoseNet.init_all)
+
+    def leaf(tree, path):
+        for p in path:
+            if not isinstance(tree, dict) or p not in tree:
+                return None
+            tree = tree[p]
+        return tree
+
+    bn = ["weight", "bias", "running_mean", "running_var",
+          "num_batches_tracked"]
+    keys = ["conv1.weight"] + [f"bn1.{l}" for l in bn]
+    for li, n in enumerate([3, 4, 6, 3], 1):
+        for b in range(n):
+            for c in (1, 2, 3):
+                keys.append(f"layer{li}.{b}.conv{c}.weight")
+                keys += [f"layer{li}.{b}.bn{c}.{l}" for l in bn]
+            if b == 0:
+                keys.append(f"layer{li}.{b}.downsample.0.weight")
+                keys += [f"layer{li}.{b}.downsample.1.{l}" for l in bn]
+    keys += ["fc.weight", "fc.bias"]
+
+    rng = np.random.RandomState(1)
+    sd = {}
+    for k in keys:
+        tleaf = k.rsplit(".", 1)[1]
+        if tleaf == "num_batches_tracked":
+            sd[k] = np.int64(90)
+            continue
+        if k.startswith("fc."):
+            sd[k] = np.zeros((1000, 2048) if tleaf == "weight" else 1000,
+                             np.float32)
+            continue
+        path, mleaf = tv_key_to_paths(k)
+        if mleaf == "weight":
+            v = leaf(ref["params"], path + ("kernel",))
+            if v is not None:
+                arr = np.asarray(v).transpose(3, 2, 0, 1)
+            else:
+                arr = np.asarray(leaf(ref["params"], path + ("scale",)))
+        elif mleaf == "bias":
+            arr = np.asarray(leaf(ref["params"], path + ("bias",)))
+        else:
+            stat = "mean" if mleaf == "running_mean" else "var"
+            arr = np.asarray(leaf(ref["batch_stats"], path + (stat,)))
+        assert arr is not None and arr.dtype != object, k
+        sd[k] = arr + rng.rand(*arr.shape).astype(np.float32)
+
+    params, batch_stats, skipped = convert(sd)
+    assert set(skipped) == {"fc.weight", "fc.bias"}, skipped
+
+    backbone = {"conv1", "bn1"} | {
+        f"layer{li}_{b}" for li, n in enumerate([3, 4, 6, 3], 1)
+        for b in range(n)}
+
+    def walk(tree, prefix=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                yield from walk(v, prefix + (k,))
+            else:
+                yield prefix + (k,), v
+
+    for path, v in walk(ref["params"]["fpn"]):
+        if path[0] in backbone:
+            g = leaf(params, ("fpn",) + path)
+            assert g is not None, f"missing fpn/{path}"
+            assert tuple(g.shape) == tuple(np.asarray(v).shape), path
+    for path, v in walk(ref["batch_stats"]["fpn"]):
+        if path[0] in backbone:
+            g = leaf(batch_stats, ("fpn",) + path)
+            assert g is not None, f"missing batch_stats fpn/{path}"
+    for path, _ in walk(params):
+        assert path[0] == "fpn" and path[1] in backbone, f"extra {path}"
