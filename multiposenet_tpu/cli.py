@@ -199,6 +199,10 @@ def cmd_coco_eval(args):
         ev.cfg = dataclasses.replace(
             ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
                                              group_size=args.group_size))
+    if args.detect_all_scales:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
+                                             detect_scale1_only=False))
     ev.coco_eval(max_images=args.max_images,
                  result_file=args.result_file, bucket=args.bucket,
                  shard=shard, skip_metrics=shard != (0, 1))
@@ -256,6 +260,10 @@ def cmd_precompile(args):
         ev.cfg = dataclasses.replace(
             ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
                                              group_size=args.group_size))
+    if args.detect_all_scales:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
+                                             detect_scale1_only=False))
     compiled = ev.precompile(shapes, bucket=args.bucket)
     print(f"precompiled {len(compiled)} pipeline shapes: "
           + ", ".join(f"{h}x{w}" for h, w in compiled))
@@ -323,6 +331,12 @@ def main(argv=None):
                     help="batch up to N same-bucket images per device "
                          "dispatch (1 = per-image; must match the value "
                          "used with `precompile`)")
+    pc.add_argument("--detect-all-scales", action="store_true",
+                    help="run the RetinaNet branch on every scale (the "
+                         "reference-shaped per-scale box lists) instead of "
+                         "scale 1.0 only — results are identical; boxes "
+                         "from other scales are never consumed "
+                         "(tester.py:169)")
     pc.add_argument("--eval-shard", default=None, metavar="I:N",
                     help="process only image slice i::n (run one worker per "
                          "chip/host, then `cli merge-results`)")
@@ -346,6 +360,9 @@ def main(argv=None):
     pp.add_argument("--group-size", type=int, default=None,
                     help="warm the grouped-dispatch shapes for coco-eval "
                          "--group-size N")
+    pp.add_argument("--detect-all-scales", action="store_true",
+                    help="warm the with-detections pipeline variant for "
+                         "every scale (for coco-eval --detect-all-scales)")
     pp.set_defaults(fn=cmd_precompile)
 
     pb = sub.add_parser("bench")

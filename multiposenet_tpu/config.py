@@ -189,6 +189,12 @@ class EvalConfig:
     # bound and grouping measured ~9% slower (docs/PERF.md); raise it on
     # runtimes where fixed per-exec overhead dominates
     group_size: int = 1
+    # coco_eval consumes detection boxes from the scale-1.0 forward ONLY
+    # (reference tester.py:169); the device paths skip the RetinaNet heads
+    # + NMS on every other scale (~a quarter of those forwards' FLOPs) —
+    # final results are identical.  False = compute detections per scale
+    # (the reference-shaped per-scale box lists, for parity debugging)
+    detect_scale1_only: bool = True
     testdata_dir: str = "./demo/test_images/"
     testresult_dir: str = "./demo/output/"
     write_image: bool = False

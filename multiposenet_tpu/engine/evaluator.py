@@ -113,11 +113,13 @@ class Evaluator:
 
     # ------------------------------------------------------------------
 
-    def pipeline(self, hw: Tuple[int, int], with_peaks: bool = True):
-        key = (int(hw[0]), int(hw[1]), with_peaks)
+    def pipeline(self, hw: Tuple[int, int], with_peaks: bool = True,
+                 with_detections: bool = True):
+        key = (int(hw[0]), int(hw[1]), with_peaks, with_detections)
         if key not in self._pipelines:
             self._pipelines[key] = make_full_pipeline(
-                self.model, self.cfg, key[:2], with_peaks=with_peaks)
+                self.model, self.cfg, key[:2], with_peaks=with_peaks,
+                with_detections=with_detections)
         return self._pipelines[key]
 
     def prn_pipeline(self):
@@ -596,18 +598,40 @@ class Evaluator:
         # grouped eval always dispatches full groups (partial groups are
         # padded by replication), so ONLY the gs*nb batch is ever compiled
         bs = gs * nb if use_groups else nb
+        # which padded shapes are dispatched WITH detections (the scale-1.0
+        # slot of some image) vs without (detect_scale1_only skips the
+        # RetinaNet branch on every other scale) — a shape can need both
+        det_shapes, nodet_shapes = set(), set()
+        for h, w in image_shapes:
+            h, w = int(h), int(w)
+            ss = [crop_shape_only((h, w), m * h, factor=32, bucket=bucket)[0]
+                  for m in get_multipliers(h, self.cfg.eval.inp_size,
+                                           self.cfg.eval.scale_search)]
+            di = min(1, len(ss) - 1)
+            for si, shp in enumerate(ss):
+                (det_shapes if si == di else nodet_shapes).add(shp)
+        if not (self.cfg.eval.detect_scale1_only
+                and self.cfg.eval.device_resize):
+            # the host chain (and detect_scale1_only=False) dispatches every
+            # scale with detections
+            det_shapes = set(shapes)
+            nodet_shapes = set()
         hm_dtype = jnp.float32
         for i, hw in enumerate(shapes):
-            logger.info("precompile %d/%d: %dx%d (batch %d)",
-                        i + 1, len(shapes), hw[0], hw[1], bs)
+            variants = ([True] if hw in det_shapes else []) + \
+                ([False] if hw in nodet_shapes else [])
+            logger.info("precompile %d/%d: %dx%d (batch %d, det %s)",
+                        i + 1, len(shapes), hw[0], hw[1], bs, variants)
             # uint8, matching what _get_outputs uploads (dtype is part of
             # the compile key)
             dummy = jnp.full((bs, hw[0], hw[1], 3), 128, jnp.uint8)
-            out = self.pipeline(hw, with_peaks=False)(self.params, dummy)
-            jax.block_until_ready(out)
-            # under --bf16 the heatmaps arrive in bfloat16; the fold warms
-            # below must match or the real eval cold-compiles anyway
-            hm_dtype = out.heatmaps.dtype
+            for wd in variants:
+                out = self.pipeline(hw, with_peaks=False,
+                                    with_detections=wd)(self.params, dummy)
+                jax.block_until_ready(out)
+                # under --bf16 the heatmaps arrive in bfloat16; the fold
+                # warms below must match or the real eval cold-compiles
+                hm_dtype = out.heatmaps.dtype
 
         if self.cfg.eval.device_resize:
             pad_to = max(bucket, 1)
@@ -838,8 +862,11 @@ class Evaluator:
                                jnp.asarray(np.stack(batch)),
                                real_shape[:2], im_scale))
 
-        for hw2, batch, real_shape, im_scale in scales:
-            out = self.pipeline(hw2, with_peaks=False)(self.params, batch)
+        det_idx = min(1, len(scales) - 1)  # boxes from scale 1.0 only
+        for s, (hw2, batch, real_shape, im_scale) in enumerate(scales):
+            wd = (s == det_idx) or not self.cfg.eval.detect_scale1_only
+            out = self.pipeline(hw2, with_peaks=False, with_detections=wd)(
+                self.params, batch)
             rm = self._resize_mats_dev(
                 hw2[0] // 4, hw2[1] // 4, real_shape[0], real_shape[1],
                 h, w, hp, wp)
@@ -848,7 +875,7 @@ class Evaluator:
                 mats.append(rm)
             else:
                 avg = accum(avg, out.heatmaps, rm[0], rm[1])
-            det_pending.append((out.detections, im_scale))
+            det_pending.append((out.detections if wd else None, im_scale))
 
         inv_n = jnp.float32(1.0 / len(multipliers))
         if use_fused:
@@ -862,24 +889,31 @@ class Evaluator:
 
     def _fetch_image_device(self, handle):
         """One batched device_get for everything `_dispatch_image_device`
-        enqueued; returns the `_get_outputs` 4-tuple."""
+        enqueued; returns the `_get_outputs` 4-tuple.  Scales whose
+        detection branch was skipped (detect_scale1_only) contribute an
+        empty box list — _finish_image only reads the scale-1.0 entry."""
         kind, obj, det_pending, (h, w) = handle
+        det_items = [(d.scores, d.boxes) for d, _ in det_pending
+                     if d is not None]
         if kind == "peaks":
             fetched = jax.device_get(
-                [(obj.coords, obj.scores, obj.valid)]
-                + [(d.scores, d.boxes) for d, _ in det_pending])
+                [(obj.coords, obj.scores, obj.valid)] + det_items)
             peaks = tuple(np.asarray(a) for a in fetched[0])
             heat_avg = None
         else:
             # flip_heat is returned as None so _finish_image knows the flip
             # is already folded in; the padded map is cropped to the
             # original resolution here on host
-            fetched = jax.device_get(
-                [obj] + [(d.scores, d.boxes) for d, _ in det_pending])
+            fetched = jax.device_get([obj] + det_items)
             heat_avg = np.asarray(fetched[0], np.float32)[:h, :w]
             peaks = None
         bbox_all = []
-        for (dscores, dboxes), (_, im_scale) in zip(fetched[1:], det_pending):
+        it = iter(fetched[1:])
+        for d, im_scale in det_pending:
+            if d is None:
+                bbox_all.append([])
+                continue
+            dscores, dboxes = next(it)
             keep = dscores[0] > self.cfg.detection.test_score_thresh
             bbox_all.append((dboxes[0][keep] / im_scale).tolist())
         return heat_avg, bbox_all, None, peaks
@@ -954,15 +988,18 @@ class Evaluator:
             jnp.asarray(srcs), ipacks, wpacks, dimss)
 
         hms, mats, det_pending = [], [], []
+        det_idx = min(1, len(shapes) - 1)  # boxes from scale 1.0 only
         for s, ((dh, dw), batch) in enumerate(zip(shapes, batches)):
-            out = self.pipeline((dh, dw), with_peaks=False)(
-                self.params, batch)
+            wd = (s == det_idx) or not self.cfg.eval.detect_scale1_only
+            out = self.pipeline((dh, dw), with_peaks=False,
+                                with_detections=wd)(self.params, batch)
             hms.append(out.heatmaps)
             mats.append(self._resize_mats_group_dev(tuple(
                 (dh // 4, dw // 4, metas[g][s][1][0], metas[g][s][1][1],
                  sizes[g][0], sizes[g][1], hp, wp) for g in range(G))))
             det_pending.append(
-                (out.detections, [metas[g][s][2] for g in range(G)]))
+                (out.detections if wd else None,
+                 [metas[g][s][2] for g in range(G)]))
 
         inv_n = jnp.float32(1.0 / len(shapes))
         hvec = jnp.asarray([h for h, _ in sizes], jnp.int32)
@@ -973,17 +1010,24 @@ class Evaluator:
 
     def _fetch_group_device(self, handle):
         """One batched device_get for everything `_dispatch_group_device`
-        enqueued; returns a list of per-image `_get_outputs` 4-tuples."""
+        enqueued; returns a list of per-image `_get_outputs` 4-tuples.
+        Detection-skipped scales (detect_scale1_only) yield empty box
+        lists, matching `_fetch_image_device`."""
         pk, det_pending, sizes, nb = handle
+        det_items = [(d.scores, d.boxes) for d, _ in det_pending
+                     if d is not None]
         fetched = jax.device_get(
-            [(pk.coords, pk.scores, pk.valid)]
-            + [(d.scores, d.boxes) for d, _ in det_pending])
+            [(pk.coords, pk.scores, pk.valid)] + det_items)
         coords, scores, valid = fetched[0]
         outs = []
         for g in range(len(sizes)):
             bbox_all = []
-            for (dscores, dboxes), (_, im_scales) in zip(fetched[1:],
-                                                         det_pending):
+            it = iter(fetched[1:])
+            for d, im_scales in det_pending:
+                if d is None:
+                    bbox_all.append([])
+                    continue
+                dscores, dboxes = next(it)
                 keep = dscores[g * nb] > self.cfg.detection.test_score_thresh
                 bbox_all.append(
                     (dboxes[g * nb][keep] / im_scales[g]).tolist())

@@ -53,16 +53,22 @@ class PipelineOutput(NamedTuple):
 
 
 def make_full_pipeline(model: PoseNet, cfg: Config, image_hw: Tuple[int, int],
-                       preprocess: bool = True, with_peaks: bool = True):
+                       preprocess: bool = True, with_peaks: bool = True,
+                       with_detections: bool = True):
     """Build a jitted image -> (heatmaps, detections, peaks) function.
 
     Static over the input (H, W); anchors are baked in as constants.
     `with_peaks=False` skips the device peak finder (peaks=None in the
     output) — the multi-scale eval path averages heatmaps on the host and
     finds peaks there (reference tester.py:299-305), so computing device
-    peaks per scale would be wasted work.
+    peaks per scale would be wasted work.  `with_detections=False`
+    additionally skips the RetinaNet heads + decode + NMS entirely
+    (detections=None) — the coco_eval protocol consumes boxes from the
+    scale-1.0 forward ONLY (reference tester.py:169), so the other
+    scales' detection branch (~a quarter of their FLOPs) is dead work.
     """
-    anchors = jnp.asarray(anchors_for_shape(tuple(image_hw), cfg.anchors))
+    anchors = (jnp.asarray(anchors_for_shape(tuple(image_hw), cfg.anchors))
+               if with_detections else None)
     h, w = image_hw
     det = cfg.detection
     pk = cfg.peaks
@@ -71,21 +77,28 @@ def make_full_pipeline(model: PoseNet, cfg: Config, image_hw: Tuple[int, int],
     @jax.jit
     def run(params, images) -> PipelineOutput:
         x = preprocess_on_device(images) if preprocess else images
-        predict_keypoint, cls, reg = model.apply(
-            params, x, method=PoseNet.full_forward)
-
-        boxes = decode_boxes(anchors[None], reg)
-        boxes = clip_boxes(boxes, h, w)
-        scores = jnp.max(cls, axis=2)  # (B, A) person prob
-        if det.use_pallas_nms and jax.default_backend() == "tpu":
-            from multiposenet_tpu.ops.pallas_nms import nms_fixed_pallas
-            dets = jax.vmap(lambda b, s: nms_fixed_pallas(
-                b, s, det.nms_thresh, det.max_detections, det.score_thresh,
-                interpret=False))(boxes, scores)
+        dets = None
+        if with_detections:
+            predict_keypoint, cls, reg = model.apply(
+                params, x, method=PoseNet.full_forward)
+            boxes = decode_boxes(anchors[None], reg)
+            boxes = clip_boxes(boxes, h, w)
+            scores = jnp.max(cls, axis=2)  # (B, A) person prob
+            if det.use_pallas_nms and jax.default_backend() == "tpu":
+                from multiposenet_tpu.ops.pallas_nms import nms_fixed_pallas
+                dets = jax.vmap(lambda b, s: nms_fixed_pallas(
+                    b, s, det.nms_thresh, det.max_detections,
+                    det.score_thresh, interpret=False))(boxes, scores)
+            else:
+                dets = batched_topk_nms(boxes, scores,
+                                        iou_thresh=det.nms_thresh,
+                                        max_out=det.max_detections,
+                                        score_thresh=det.score_thresh)
         else:
-            dets = batched_topk_nms(boxes, scores, iou_thresh=det.nms_thresh,
-                                    max_out=det.max_detections,
-                                    score_thresh=det.score_thresh)
+            # saved_for_loss and the detection-FPN features are traced but
+            # unused -> XLA dead-code-eliminates them from the compiled graph
+            predict_keypoint, _ = model.apply(
+                params, x, False, method=PoseNet.keypoint_forward)
 
         peaks = None
         if with_peaks:

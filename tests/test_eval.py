@@ -120,7 +120,7 @@ def _stub_evaluator(cfg):
     ev.params = None
     ev.called = []
 
-    def pipeline(hw, with_peaks=True):
+    def pipeline(hw, with_peaks=True, with_detections=True):
         assert not with_peaks, "multi-scale eval must skip device peaks"
         def run(params, batch):
             ev.called.append((tuple(hw), batch.shape[0]))
@@ -275,13 +275,15 @@ def test_get_outputs_device_resize_matches_host_path():
     ev_dev.cfg = dataclasses.replace(
         ev_dev.cfg, eval=dataclasses.replace(ev_dev.cfg.eval,
                                              device_resize=True,
-                                             device_peaks=False))
+                                             device_peaks=False,
+                                             # compare per-scale boxes too
+                                             detect_scale1_only=False))
     from multiposenet_tpu.engine.evaluator import Evaluator
     ev_dev._accum_jit = None
     ev_dev.accum_fn = lambda: Evaluator.accum_fn(ev_dev)
 
     def content_pipeline(ev):
-        def pipeline(hw, with_peaks=True):
+        def pipeline(hw, with_peaks=True, with_detections=True):
             def run(params, batch):
                 bs = batch.shape[0]
                 r = np.random.RandomState(hw[0] * 7919 + hw[1])
@@ -346,7 +348,7 @@ def test_get_outputs_device_peaks_matches_host_joint_list():
                     (lambda n: lambda: getattr(Evaluator, n)(ev))(name))
         # stub pipeline: gaussian-bump heatmaps so the multi-scale average
         # has clean interior peaks
-        def pipeline(hw, with_peaks=True):
+        def pipeline(hw, with_peaks=True, with_detections=True):
             def run(params, batch):
                 bs = batch.shape[0]
                 h4, w4 = hw[0] // 4, hw[1] // 4
@@ -413,7 +415,7 @@ def test_group_dispatch_matches_single():
 
     # content-dependent stub: heatmaps and detections are a pure function
     # of each batch ROW, so any cross-row mixup in the grouped path shows
-    def pipeline(hw, with_peaks=True):
+    def pipeline(hw, with_peaks=True, with_detections=True):
         def run(params, batch):
             b = np.asarray(batch, np.float32) / 255.0
             bs, bh, bw, _ = b.shape
@@ -455,6 +457,70 @@ def test_group_dispatch_matches_single():
         np.testing.assert_array_equal(sp[0], gp[0])          # coords
         np.testing.assert_allclose(sp[1], gp[1], atol=1e-5)  # scores
         np.testing.assert_array_equal(sp[2], gp[2])          # valid
+
+
+def test_detect_scale1_only_matches_full_results():
+    """Skipping the RetinaNet branch on non-scale-1.0 dispatches must leave
+    the consumed outputs untouched: identical peaks, identical scale-1.0
+    boxes, empty lists elsewhere (reference consumes orig_bbox_all[1] only,
+    tester.py:169)."""
+    import dataclasses
+    import types
+    from multiposenet_tpu.config import Config
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                      scale_search=(0.5, 1.0, 1.5),
+                                      flip=False))
+
+    def make_ev(scale1_only):
+        ev = _stub_evaluator(cfg)
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(
+                ev.cfg.eval, device_resize=True, device_peaks=True,
+                device_image_resize=True,
+                detect_scale1_only=scale1_only))
+        ev._accum_fold_peaks_jit = None
+        ev.det_calls = []
+
+        def pipeline(hw, with_peaks=True, with_detections=True):
+            def run(params, batch):
+                ev.det_calls.append((tuple(hw), with_detections))
+                b = np.asarray(batch, np.float32) / 255.0
+                bs, bh, bw, _ = b.shape
+                hm = b.reshape(bs, bh // 4, 4, bw // 4, 4, 3).mean((2, 4))
+                hm = np.concatenate([hm] * 6, axis=-1).astype(np.float32)
+                dets = None
+                if with_detections:
+                    rm = b.mean((1, 2, 3))
+                    dets = types.SimpleNamespace(
+                        scores=jnp.asarray(
+                            np.linspace(0.9, 0.3, 3, np.float32)[None]
+                            * (0.5 + rm)[:, None]),
+                        boxes=jnp.asarray(
+                            np.arange(1, 13, dtype=np.float32).reshape(
+                                1, 3, 4).repeat(bs, 0)
+                            * (1.0 + rm)[:, None, None]))
+                return types.SimpleNamespace(heatmaps=jnp.asarray(hm),
+                                             detections=dets)
+            return run
+        ev.pipeline = pipeline
+        return ev
+
+    img = (np.random.RandomState(5).rand(160, 224, 3) * 255).astype(np.uint8)
+    mult = get_multipliers(160, cfg.eval.inp_size, cfg.eval.scale_search)
+    ev_skip, ev_full = make_ev(True), make_ev(False)
+    _, bb_s, _, pk_s = ev_skip._get_outputs(mult, img, bucket=64)
+    _, bb_f, _, pk_f = ev_full._get_outputs(mult, img, bucket=64)
+
+    assert [wd for _, wd in ev_skip.det_calls] == [False, True, False]
+    assert all(wd for _, wd in ev_full.det_calls)
+    for a, b in zip(pk_s, pk_f):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(bb_s[1], bb_f[1], rtol=1e-6)
+    assert bb_s[0] == [] and bb_s[2] == []
+    assert len(bb_f[0]) and len(bb_f[2])
 
 
 def test_lru_bounds_and_group_gating():

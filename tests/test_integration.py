@@ -295,7 +295,7 @@ def test_coco_eval_device_path(synthetic_coco):
 
     call_state = {"img_id": None, "call": 0}
 
-    def stub_pipeline(hw, with_peaks=True):
+    def stub_pipeline(hw, with_peaks=True, with_detections=True):
         assert not with_peaks
         def run(params, batch):
             joints, boxes, (h, w) = by_id[call_state["img_id"]]
@@ -404,7 +404,7 @@ def test_coco_eval_grouped_matches_ungrouped(tmp_path):
             method=PoseNet.init_all)
         ev = Evaluator(cfg, model, variables)
 
-        def stub_pipeline(hw, with_peaks=True):
+        def stub_pipeline(hw, with_peaks=True, with_detections=True):
             assert not with_peaks
 
             def run(params, batch):
