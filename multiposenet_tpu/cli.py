@@ -169,6 +169,27 @@ def cmd_test(args):
     print(f"{len(results)} person instances detected")
 
 
+def _apply_eval_flags(ev, args):
+    """Shared eval-path flags for `coco-eval` AND `precompile` — the two
+    MUST see the same config or precompile warms the wrong pipeline
+    variants (e.g. --host-resize dispatches every scale with detections,
+    which a default precompile no longer compiles)."""
+    updates = {}
+    if args.host_resize:
+        updates["device_resize"] = False
+    if args.host_peaks:
+        updates["device_peaks"] = False
+    if args.host_image_resize:
+        updates["device_image_resize"] = False
+    if args.group_size is not None:
+        updates["group_size"] = args.group_size
+    if args.detect_all_scales:
+        updates["detect_scale1_only"] = False
+    if updates:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, eval=dataclasses.replace(ev.cfg.eval, **updates))
+
+
 def cmd_coco_eval(args):
     ann = os.path.join(args.coco_root, "annotations/person_keypoints_val2017.json")
     if not os.path.isfile(ann):
@@ -183,26 +204,7 @@ def cmd_coco_eval(args):
             sys.exit("error: --eval-shard requires --result-file "
                      "(merge shards with `cli merge-results`)")
     _, ev = _load_eval(args)
-    if args.host_resize:
-        ev.cfg = dataclasses.replace(
-            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
-                                             device_resize=False))
-    if args.host_peaks:
-        ev.cfg = dataclasses.replace(
-            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
-                                             device_peaks=False))
-    if args.host_image_resize:
-        ev.cfg = dataclasses.replace(
-            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
-                                             device_image_resize=False))
-    if args.group_size is not None:
-        ev.cfg = dataclasses.replace(
-            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
-                                             group_size=args.group_size))
-    if args.detect_all_scales:
-        ev.cfg = dataclasses.replace(
-            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
-                                             detect_scale1_only=False))
+    _apply_eval_flags(ev, args)
     ev.coco_eval(max_images=args.max_images,
                  result_file=args.result_file, bucket=args.bucket,
                  shard=shard, skip_metrics=shard != (0, 1))
@@ -256,14 +258,7 @@ def cmd_precompile(args):
         shapes = [(im["height"], im["width"])
                   for i in ids for im in gt.load_imgs(i)]
     _, ev = _load_eval(args)
-    if args.group_size is not None:
-        ev.cfg = dataclasses.replace(
-            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
-                                             group_size=args.group_size))
-    if args.detect_all_scales:
-        ev.cfg = dataclasses.replace(
-            ev.cfg, eval=dataclasses.replace(ev.cfg.eval,
-                                             detect_scale1_only=False))
+    _apply_eval_flags(ev, args)
     compiled = ev.precompile(shapes, bucket=args.bucket)
     print(f"precompiled {len(compiled)} pipeline shapes: "
           + ", ".join(f"{h}x{w}" for h, w in compiled))
@@ -308,6 +303,32 @@ def main(argv=None):
     pd.add_argument("--testresult", default="./demo/output/")
     pd.set_defaults(fn=cmd_test)
 
+    def _eval_path_flags(p):
+        """Flags that select eval pipeline variants — shared by coco-eval
+        and precompile so the warmed compile set always matches the
+        dispatched one (_apply_eval_flags)."""
+        p.add_argument("--host-resize", action="store_true",
+                       help="resize/average multi-scale heatmaps with cv2 "
+                            "on the host (reference-exact chain) instead "
+                            "of the cv2-matching on-device matmul path")
+        p.add_argument("--host-peaks", action="store_true",
+                       help="fetch the averaged heatmap and find peaks on "
+                            "the host (reference y-major peak order) "
+                            "instead of on device after the fold")
+        p.add_argument("--host-image-resize", action="store_true",
+                       help="build the multi-scale image pyramid with host "
+                            "cv2 resizes (one upload per scale) instead of "
+                            "on device from one uploaded original")
+        p.add_argument("--group-size", type=int, default=None,
+                       help="batch up to N same-bucket images per device "
+                            "dispatch (1 = per-image)")
+        p.add_argument("--detect-all-scales", action="store_true",
+                       help="run the RetinaNet branch on every scale (the "
+                            "reference-shaped per-scale box lists) instead "
+                            "of scale 1.0 only — results are identical; "
+                            "boxes from other scales are never consumed "
+                            "(tester.py:169)")
+
     pc = sub.add_parser("coco-eval")
     _common(pc)
     pc.add_argument("--max-images", type=int, default=None)
@@ -315,28 +336,7 @@ def main(argv=None):
     pc.add_argument("--bucket", type=int, default=64,
                     help="shape-bucketing granularity; must match the value "
                          "used with `precompile`")
-    pc.add_argument("--host-resize", action="store_true",
-                    help="resize/average multi-scale heatmaps with cv2 on "
-                         "the host (reference-exact chain) instead of the "
-                         "cv2-matching on-device matmul path")
-    pc.add_argument("--host-peaks", action="store_true",
-                    help="fetch the averaged heatmap and find peaks on the "
-                         "host (reference y-major peak order) instead of "
-                         "finding them on device after the multi-scale fold")
-    pc.add_argument("--host-image-resize", action="store_true",
-                    help="build the multi-scale image pyramid with host cv2 "
-                         "resizes (one upload per scale) instead of on "
-                         "device from one uploaded original")
-    pc.add_argument("--group-size", type=int, default=None,
-                    help="batch up to N same-bucket images per device "
-                         "dispatch (1 = per-image; must match the value "
-                         "used with `precompile`)")
-    pc.add_argument("--detect-all-scales", action="store_true",
-                    help="run the RetinaNet branch on every scale (the "
-                         "reference-shaped per-scale box lists) instead of "
-                         "scale 1.0 only — results are identical; boxes "
-                         "from other scales are never consumed "
-                         "(tester.py:169)")
+    _eval_path_flags(pc)
     pc.add_argument("--eval-shard", default=None, metavar="I:N",
                     help="process only image slice i::n (run one worker per "
                          "chip/host, then `cli merge-results`)")
@@ -357,12 +357,7 @@ def main(argv=None):
                          "(default: all val2017 person-image sizes)")
     pp.add_argument("--max-images", type=int, default=None)
     pp.add_argument("--bucket", type=int, default=64)
-    pp.add_argument("--group-size", type=int, default=None,
-                    help="warm the grouped-dispatch shapes for coco-eval "
-                         "--group-size N")
-    pp.add_argument("--detect-all-scales", action="store_true",
-                    help="warm the with-detections pipeline variant for "
-                         "every scale (for coco-eval --detect-all-scales)")
+    _eval_path_flags(pp)
     pp.set_defaults(fn=cmd_precompile)
 
     pb = sub.add_parser("bench")

@@ -45,6 +45,14 @@ from multiposenet_tpu.utils.logging import logger
 NUM_J17 = 17
 
 
+def det_scale_idx(n_scales: int) -> int:
+    """Index of the ONE scale whose detections coco_eval consumes — scale
+    1.0, i.e. scale_search index 1 (reference tester.py:169; index 0 when
+    only one scale is configured).  Shared by precompile's variant
+    derivation, both dispatch paths, and _finish_image: they MUST agree."""
+    return min(1, n_scales - 1)
+
+
 def _joints_to_peak_arrays(joint_list: Sequence[Sequence[float]],
                            max_peaks: int
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -100,7 +108,8 @@ class Evaluator:
         self.cfg = cfg
         self.model = model or PoseNet(cfg.model)
         self.params = params
-        self._pipelines: Dict[Tuple[int, int, bool], callable] = {}
+        # keyed (h, w, with_peaks, with_detections)
+        self._pipelines: Dict[Tuple[int, int, bool, bool], callable] = {}
         self._prn_pipeline = None
         self._assign_jit = None
         self._prn_assign_jit = None
@@ -607,7 +616,7 @@ class Evaluator:
             ss = [crop_shape_only((h, w), m * h, factor=32, bucket=bucket)[0]
                   for m in get_multipliers(h, self.cfg.eval.inp_size,
                                            self.cfg.eval.scale_search)]
-            di = min(1, len(ss) - 1)
+            di = det_scale_idx(len(ss))
             for si, shp in enumerate(ss):
                 (det_shapes if si == di else nodet_shapes).add(shp)
         if not (self.cfg.eval.detect_scale1_only
@@ -862,7 +871,7 @@ class Evaluator:
                                jnp.asarray(np.stack(batch)),
                                real_shape[:2], im_scale))
 
-        det_idx = min(1, len(scales) - 1)  # boxes from scale 1.0 only
+        det_idx = det_scale_idx(len(scales))
         for s, (hw2, batch, real_shape, im_scale) in enumerate(scales):
             wd = (s == det_idx) or not self.cfg.eval.detect_scale1_only
             out = self.pipeline(hw2, with_peaks=False, with_detections=wd)(
@@ -988,7 +997,7 @@ class Evaluator:
             jnp.asarray(srcs), ipacks, wpacks, dimss)
 
         hms, mats, det_pending = [], [], []
-        det_idx = min(1, len(shapes) - 1)  # boxes from scale 1.0 only
+        det_idx = det_scale_idx(len(shapes))
         for s, ((dh, dw), batch) in enumerate(zip(shapes, batches)):
             wd = (s == det_idx) or not self.cfg.eval.detect_scale1_only
             out = self.pipeline((dh, dw), with_peaks=False,
@@ -1056,7 +1065,7 @@ class Evaluator:
                                           cfg.peaks.thre1)
         joints = drop_neck(jl)
         # detections from scale 1.0 only (reference tester.py:169)
-        scale1 = min(1, len(orig_bbox) - 1)
+        scale1 = det_scale_idx(len(orig_bbox))
         prn_res = self.prn_process(joints, orig_bbox[scale1], name, img_id)
         out = []
         for r in prn_res:

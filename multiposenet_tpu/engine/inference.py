@@ -17,7 +17,7 @@ a few hundred values.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -48,7 +48,8 @@ def preprocess_on_device(img_rgb_u8: jnp.ndarray) -> jnp.ndarray:
 
 class PipelineOutput(NamedTuple):
     heatmaps: jnp.ndarray   # (B, H/4, W/4, 18)
-    detections: NMSResult   # boxes (B,K,4) scores (B,K) ... at input resolution
+    detections: Optional[NMSResult]  # boxes (B,K,4) scores (B,K) at input
+    #                     resolution; None when built with_detections=False
     peaks: PeakSet          # (B,J,P,...) coords in input-image pixels
 
 

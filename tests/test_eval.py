@@ -496,7 +496,7 @@ def test_detect_scale1_only_matches_full_results():
                     rm = b.mean((1, 2, 3))
                     dets = types.SimpleNamespace(
                         scores=jnp.asarray(
-                            np.linspace(0.9, 0.3, 3, np.float32)[None]
+                            np.linspace(0.9, 0.3, 3, dtype=np.float32)[None]
                             * (0.5 + rm)[:, None]),
                         boxes=jnp.asarray(
                             np.arange(1, 13, dtype=np.float32).reshape(
