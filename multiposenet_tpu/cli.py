@@ -169,6 +169,20 @@ def cmd_test(args):
     print(f"{len(results)} person instances detected")
 
 
+def _cluster_flags(p):
+    """Multi-host cluster membership — shared by `train` and `coco-eval`
+    (which auto-shards images per process and gathers results)."""
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host runs "
+                        "(with MPN_DISTRIBUTED=1, TPU pod / SLURM env is "
+                        "auto-detected instead)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total hosts (required with --coordinator outside "
+                        "auto-detectable clusters)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this host's index (see --num-processes)")
+
+
 def _apply_eval_flags(ev, args):
     """Shared eval-path flags for `coco-eval` AND `precompile` — the two
     MUST see the same config or precompile warms the wrong pipeline
@@ -194,6 +208,11 @@ def cmd_coco_eval(args):
     ann = os.path.join(args.coco_root, "annotations/person_keypoints_val2017.json")
     if not os.path.isfile(ann):
         sys.exit(f"error: annotations not found: {ann}")
+    from multiposenet_tpu.parallel import distributed as dist
+    # multi-host: join the cluster BEFORE building the model; coco_eval
+    # then auto-shards images per process and gathers results on process 0
+    dist.initialize(args.coordinator, num_processes=args.num_processes,
+                    process_id=args.process_id)
     shard = (0, 1)
     if args.eval_shard:
         i, n = args.eval_shard.split(":")
@@ -279,15 +298,7 @@ def main(argv=None):
                     choices=["keypoint", "detection", "prn"])
     pt.add_argument("--init-params", default=None,
                     help="params-only checkpoint for staged training")
-    pt.add_argument("--coordinator", default=None,
-                    help="host:port of process 0 for multi-host training "
-                         "(with MPN_DISTRIBUTED=1, TPU pod / SLURM env is "
-                         "auto-detected instead)")
-    pt.add_argument("--num-processes", type=int, default=None,
-                    help="total hosts (required with --coordinator outside "
-                         "auto-detectable clusters)")
-    pt.add_argument("--process-id", type=int, default=None,
-                    help="this host's index (see --num-processes)")
+    _cluster_flags(pt)
     pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("val")
@@ -337,6 +348,7 @@ def main(argv=None):
                     help="shape-bucketing granularity; must match the value "
                          "used with `precompile`")
     _eval_path_flags(pc)
+    _cluster_flags(pc)
     pc.add_argument("--eval-shard", default=None, metavar="I:N",
                     help="process only image slice i::n (run one worker per "
                          "chip/host, then `cli merge-results`)")

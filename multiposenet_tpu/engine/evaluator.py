@@ -1091,12 +1091,23 @@ class Evaluator:
         img_ids = gt.get_img_ids(cat_ids=[1])
         if max_images:
             img_ids = img_ids[:max_images]
+        from multiposenet_tpu.parallel import distributed as dist
+        # multi-host cluster with no explicit shard: each process takes a
+        # strided shard automatically; results are all-gathered over the
+        # cluster's own collectives (no shared filesystem needed) and the
+        # primary scores the merged set — one command on every host
+        # replaces the manual --eval-shard + merge-results dance
+        auto_dist = shard == (0, 1) and dist.process_count() > 1
+        if auto_dist:
+            shard = (dist.process_index(), dist.process_count())
+        full_img_ids = list(img_ids)
         if shard != (0, 1):
             # embarrassingly parallel eval: worker i of n takes a strided
-            # slice; merge partial result files with `cli merge-results`
+            # slice; manual shards merge with `cli merge-results`
             img_ids = img_ids[shard[0]::shard[1]]
-            logger.info("eval shard %d/%d: %d images", shard[0], shard[1],
-                        len(img_ids))
+            logger.info("eval shard %d/%d: %d images%s", shard[0], shard[1],
+                        len(img_ids),
+                        " (distributed auto-shard)" if auto_dist else "")
 
         # pipeline images: the main thread only reads/preps/dispatches; a
         # background worker does EVERYTHING blocking for unit n — the
@@ -1191,6 +1202,14 @@ class Evaluator:
                 flush(sig)
             for f in futures:
                 results.extend(f.result())
+
+        if auto_dist:
+            # every process blocks here until all shards are done, then
+            # holds the full result set; the primary writes/scores
+            results = [r for rs in dist.gather_objects(results) for r in rs]
+            img_ids = full_img_ids
+            if not dist.is_primary():
+                return {}
 
         if result_file:
             with open(result_file, "w") as f:

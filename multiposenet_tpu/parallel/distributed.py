@@ -77,3 +77,30 @@ def per_host_batch(global_batch_size: int) -> int:
             f"global batch_size {global_batch_size} must be divisible by the "
             f"process count {n}")
     return global_batch_size // n
+
+
+def gather_objects(obj):
+    """All-gather one picklable-as-JSON object per process; every process
+    returns the list [obj_from_process_0, ..., obj_from_process_{P-1}].
+
+    Rides the cluster's own collectives (jax.experimental.multihost_utils
+    over ICI/gloo) — shard results never touch a shared filesystem, which
+    multi-host pods don't have.  Encoding: JSON -> utf-8 bytes -> uint8
+    arrays, length-allgathered first so ragged payloads pad to one shape.
+    Single-process: returns [obj].
+    """
+    import json as _json
+
+    if jax.process_count() == 1:
+        return [obj]
+    import numpy as _np
+    from jax.experimental import multihost_utils as mhu
+
+    data = _np.frombuffer(_json.dumps(obj).encode("utf-8"), _np.uint8)
+    sizes = _np.asarray(mhu.process_allgather(
+        _np.asarray([data.size], _np.int64)))          # (P, 1)
+    padded = _np.zeros(int(sizes.max()), _np.uint8)
+    padded[:data.size] = data
+    allp = _np.asarray(mhu.process_allgather(padded))  # (P, maxn)
+    return [_json.loads(bytes(allp[p, :int(sizes[p, 0])]).decode("utf-8"))
+            for p in range(sizes.shape[0])]

@@ -1,0 +1,53 @@
+"""Worker for test_two_process_distributed_coco_eval.
+
+Joins a 2-process jax.distributed cluster (gloo CPU collectives) and runs
+Evaluator.coco_eval with NO explicit shard: the evaluator must auto-shard
+the image set by process, all-gather the per-shard results over the
+cluster collectives (parallel.distributed.gather_objects), and score the
+merged set on process 0 only.  The per-image network stage is stubbed to
+emit GT so the distribution/merge bookkeeping is isolated.
+"""
+import sys
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+root = sys.argv[3]
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+
+import dataclasses
+import os
+
+from multiposenet_tpu.config import Config
+from multiposenet_tpu.data.coco_json import COCOIndex
+from multiposenet_tpu.engine.evaluator import Evaluator
+
+ann = os.path.join(root, "gt.json")
+gt = COCOIndex(ann)
+cfg = Config()
+cfg = dataclasses.replace(
+    cfg, eval=dataclasses.replace(cfg.eval, device_resize=False))
+ev = Evaluator(cfg)
+ev._get_outputs = lambda mult, img, bucket=64, with_flip=False: \
+    (None, [[]], None, None)
+seen = []
+
+
+def finish(orig_heat, flip_heat, orig_bbox, img_h, name, img_id, peaks=None):
+    seen.append(img_id)
+    return [{"image_id": img_id, "category_id": 1,
+             "keypoints": list(map(float, a["keypoints"])),
+             "bbox": list(map(float, a["bbox"])), "score": 1.0}
+            for a in gt.img_to_anns[img_id]]
+
+
+ev._finish_image = finish
+result_file = os.path.join(root, "merged.json") if pid == 0 else None
+metrics = ev.coco_eval(ann_file=ann, img_dir=root, result_file=result_file)
+print(f"RESULT {pid} n={len(seen)} ap={metrics.get('AP', -1.0):.3f} "
+      f"ids={sorted(seen)}", flush=True)

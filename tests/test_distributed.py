@@ -100,3 +100,75 @@ def test_two_process_cluster():
     assert results[0][0] == results[1][0] == "mean=3.5"
     # the two hosts' dataset shards are disjoint and cover 0..15
     assert sorted(results[0][1] + results[1][1]) == list(range(16))
+
+
+def test_gather_objects_single_process():
+    assert dist.gather_objects({"a": [1, 2]}) == [{"a": [1, 2]}]
+
+
+def test_two_process_distributed_coco_eval(tmp_path):
+    """coco-eval on a 2-process cluster with NO explicit shard: the image
+    set auto-shards by process, the ragged per-shard results all-gather
+    over gloo (gather_objects), and only process 0 scores the merged set
+    — one command per host replaces --eval-shard + merge-results."""
+    import cv2
+    import json
+
+    root = str(tmp_path)
+    imgs, anns = [], []
+    for i in range(1, 5):
+        cv2.imwrite(os.path.join(root, f"{i}.png"),
+                    np.full((64, 80, 3), 40 * i, np.uint8))
+        imgs.append({"id": i, "height": 64, "width": 80,
+                     "file_name": f"{i}.png"})
+        kps = []
+        for j in range(17):
+            kps += [20 + (j % 5) * 5, 15 + (j // 5) * 8, 2]
+        anns.append({"id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+                     "num_keypoints": 17, "area": 900.0,
+                     "bbox": [15, 10, 30, 40], "keypoints": kps})
+    with open(os.path.join(root, "gt.json"), "w") as f:
+        json.dump({"images": imgs, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "mh_eval_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(p), str(port), root],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for p in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, n, ap, ids = line.split(" ", 4)
+                results[int(pid)] = (int(n.split("=")[1]),
+                                     float(ap.split("=")[1]),
+                                     eval(ids.split("=", 1)[1]))
+    assert set(results) == {0, 1}, outs
+    # disjoint exhaustive auto-shard: 2 images each, all 4 covered
+    assert results[0][0] == results[1][0] == 2
+    assert sorted(results[0][2] + results[1][2]) == [1, 2, 3, 4]
+    # primary scores the MERGED set; secondary returns no metrics
+    assert results[0][1] > 0.99
+    assert results[1][1] == -1.0
+    # primary wrote the merged result file
+    with open(os.path.join(root, "merged.json")) as f:
+        assert len(json.load(f)) == 4
