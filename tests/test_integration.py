@@ -449,3 +449,64 @@ def test_coco_eval_grouped_matches_ungrouped(tmp_path):
     for a, b in zip(rg, rs):
         np.testing.assert_allclose(a["keypoints"], b["keypoints"], atol=1e-5)
         np.testing.assert_allclose(a["score"], b["score"], atol=1e-6)
+
+
+def test_coco_eval_group_bookkeeping_fuzz(tmp_path):
+    """Property: with grouped dispatch over RANDOM image-size mixes, every
+    image is finished exactly once — regardless of how signatures
+    interleave, how partial groups flush, or how much replication padding
+    is added.  Device work is stubbed; the grouping/flush/pipelining
+    bookkeeping is real."""
+    import dataclasses
+    import json
+    import types
+
+    rng = np.random.RandomState(7)
+    sizes = [(96, 128), (96, 144), (112, 128), (128, 160)]
+    n_img = 17   # odd count: forces partial-group flushes
+    imgs, anns = [], []
+    for i in range(1, n_img + 1):
+        h, w = sizes[rng.randint(len(sizes))]
+        cv2.imwrite(os.path.join(str(tmp_path), f"{i}.png"),
+                    np.full((h, w, 3), 100, np.uint8))
+        imgs.append({"id": i, "height": h, "width": w,
+                     "file_name": f"{i}.png"})
+        anns.append({"id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+                     "num_keypoints": 17, "area": 100.0,
+                     "bbox": [5, 5, 20, 20],
+                     "keypoints": [10, 10, 2] * 17})
+    ann_file = os.path.join(str(tmp_path), "gt.json")
+    with open(ann_file, "w") as f:
+        json.dump({"images": imgs, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+
+    for gs in (2, 3, 5):
+        cfg = Config(model=ModelConfig(backbone="resnet50"),
+                     data=DataConfig(inp_size=64))
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, inp_size=64,
+                                          scale_search=(0.5, 1.0),
+                                          flip=False, group_size=gs))
+        ev = Evaluator(cfg)
+        assert ev._use_groups()
+
+        def dispatch(imgs_list, bucket, with_flip):
+            return [img.shape[:2] for img in imgs_list]
+
+        def fetch(handle):
+            return [(None, [[]], None,
+                     (np.zeros((17, 2, 2), np.float32),
+                      np.full((17, 2), -1.0, np.float32),
+                      np.zeros((17, 2), bool))) for _ in handle]
+
+        ev._dispatch_group_device = dispatch
+        ev._fetch_group_device = fetch
+        finished = []
+        ev._finish_image = lambda *a, **k: (
+            finished.append(a[5]) or
+            [{"image_id": a[5], "category_id": 1,
+              "keypoints": [1.0] * 51, "bbox": [0, 0, 1, 1],
+              "score": 1.0}])
+        metrics = ev.coco_eval(ann_file=ann_file, img_dir=str(tmp_path))
+        assert sorted(finished) == list(range(1, n_img + 1)), (gs, finished)
+        assert metrics  # scored without error
