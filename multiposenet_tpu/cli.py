@@ -213,6 +213,11 @@ def cmd_coco_eval(args):
     # then auto-shards images per process and gathers results on process 0
     dist.initialize(args.coordinator, num_processes=args.num_processes,
                     process_id=args.process_id)
+    if args.eval_shard and dist.process_count() > 1:
+        # a manual shard on a cluster would run the SAME slice on every
+        # host and silently skip the rest — reject the combination
+        sys.exit("error: --eval-shard conflicts with distributed mode; "
+                 "on a cluster each process auto-shards (drop --eval-shard)")
     shard = (0, 1)
     if args.eval_shard:
         i, n = args.eval_shard.split(":")

@@ -1115,6 +1115,72 @@ class Evaluator:
         # n+1's device dispatches are already enqueued, so neither the
         # device nor the fetch round-trip ever idles the dispatch loop.
         # Depth is bounded so at most ~3 units' device buffers are alive.
+        gs = cfg.eval.group_size
+        use_groups = self._use_groups()
+        if use_groups:
+            # sort by the json-recorded size so same-signature images
+            # arrive together (groups are still keyed on ACTUAL loaded
+            # sizes — a wrong json record only costs a padded flush)
+            recs = {r["id"]: r for r in gt.load_imgs(img_ids)}
+            img_ids = sorted(img_ids, key=lambda i: (
+                int(recs[i].get("height", 0)), int(recs[i].get("width", 0))))
+
+        results = []
+        futures = []
+        eval_error: Optional[BaseException] = None
+        pending: Dict[Tuple, List] = {}  # sig -> [(img, h, name, id), ...]
+        try:
+            self._coco_eval_loop(cfg, gt, img_ids, img_dir, bucket, gs,
+                                 use_groups, results, futures, pending)
+        except BaseException as e:
+            if not auto_dist:
+                raise
+            # a dead shard must STILL join the collective gather below or
+            # every healthy host hangs in process_allgather forever; the
+            # real error re-raises right after
+            eval_error = e
+            logger.exception("eval shard %d/%d failed; joining the result "
+                             "gather before re-raising", *shard)
+
+        if auto_dist:
+            payload = {"results": results,
+                       "error": repr(eval_error) if eval_error else None}
+            gathered = dist.gather_objects(payload,
+                                           decode=dist.is_primary())
+            if eval_error is not None:
+                raise eval_error
+            if not dist.is_primary():
+                return {}
+            errs = [p["error"] for p in gathered if p["error"]]
+            if errs:
+                raise RuntimeError(
+                    f"{len(errs)} eval shard(s) failed: {errs}; refusing "
+                    "to score partial results")
+            results = [r for p in gathered for r in p["results"]]
+            img_ids = full_img_ids
+
+        if result_file:
+            with open(result_file, "w") as f:
+                json.dump(results, f, indent=4)
+
+        if skip_metrics:
+            logger.info("shard done: %d results (metrics skipped; merge "
+                        "shards first)", len(results))
+            return {}
+        if not results:
+            logger.warning("coco_eval produced no detections")
+            return {}
+        dt = gt.load_res(results)
+        ev = KeypointEval(gt, dt, img_ids=img_ids)
+        metrics = ev.evaluate()
+        print(ev.summarize())
+        return metrics
+
+    def _coco_eval_loop(self, cfg, gt, img_ids, img_dir, bucket, gs,
+                        use_groups, results, futures, pending):
+        """The dispatch/fetch pipeline over one shard's images, appending
+        finished person results to `results` (factored out so coco_eval
+        can keep collective-gather participation on failure)."""
         from concurrent.futures import ThreadPoolExecutor
 
         def fetch_and_finish(handle, img_h, name, img_id):
@@ -1133,19 +1199,6 @@ class Evaluator:
                                               name, img_id, peaks))
             return res
 
-        gs = cfg.eval.group_size
-        use_groups = self._use_groups()
-        if use_groups:
-            # sort by the json-recorded size so same-signature images
-            # arrive together (groups are still keyed on ACTUAL loaded
-            # sizes — a wrong json record only costs a padded flush)
-            recs = {r["id"]: r for r in gt.load_imgs(img_ids)}
-            img_ids = sorted(img_ids, key=lambda i: (
-                int(recs[i].get("height", 0)), int(recs[i].get("width", 0))))
-
-        results = []
-        futures = []
-        pending: Dict[Tuple, List] = {}  # sig -> [(img, h, name, id), ...]
         with ThreadPoolExecutor(max_workers=1) as pool:
 
             def flush(sig):
@@ -1202,28 +1255,3 @@ class Evaluator:
                 flush(sig)
             for f in futures:
                 results.extend(f.result())
-
-        if auto_dist:
-            # every process blocks here until all shards are done, then
-            # holds the full result set; the primary writes/scores
-            results = [r for rs in dist.gather_objects(results) for r in rs]
-            img_ids = full_img_ids
-            if not dist.is_primary():
-                return {}
-
-        if result_file:
-            with open(result_file, "w") as f:
-                json.dump(results, f, indent=4)
-
-        if skip_metrics:
-            logger.info("shard done: %d results (metrics skipped; merge "
-                        "shards first)", len(results))
-            return {}
-        if not results:
-            logger.warning("coco_eval produced no detections")
-            return {}
-        dt = gt.load_res(results)
-        ev = KeypointEval(gt, dt, img_ids=img_ids)
-        metrics = ev.evaluate()
-        print(ev.summarize())
-        return metrics

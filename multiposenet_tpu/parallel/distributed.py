@@ -79,7 +79,7 @@ def per_host_batch(global_batch_size: int) -> int:
     return global_batch_size // n
 
 
-def gather_objects(obj):
+def gather_objects(obj, decode: bool = True):
     """All-gather one picklable-as-JSON object per process; every process
     returns the list [obj_from_process_0, ..., obj_from_process_{P-1}].
 
@@ -88,11 +88,16 @@ def gather_objects(obj):
     multi-host pods don't have.  Encoding: JSON -> utf-8 bytes -> uint8
     arrays, length-allgathered first so ragged payloads pad to one shape.
     Single-process: returns [obj].
+
+    `decode=False` still participates in the collectives (every process
+    MUST call this or the others hang) but returns None without paying
+    the JSON decode of everyone else's payload — for processes that only
+    contribute and discard (e.g. non-primary eval hosts).
     """
     import json as _json
 
     if jax.process_count() == 1:
-        return [obj]
+        return [obj] if decode else None
     import numpy as _np
     from jax.experimental import multihost_utils as mhu
 
@@ -102,5 +107,7 @@ def gather_objects(obj):
     padded = _np.zeros(int(sizes.max()), _np.uint8)
     padded[:data.size] = data
     allp = _np.asarray(mhu.process_allgather(padded))  # (P, maxn)
+    if not decode:
+        return None
     return [_json.loads(bytes(allp[p, :int(sizes[p, 0])]).decode("utf-8"))
             for p in range(sizes.shape[0])]

@@ -17,6 +17,10 @@ jax.config.update("jax_cpu_collectives_implementation", "gloo")
 pid = int(sys.argv[1])
 port = sys.argv[2]
 root = sys.argv[3]
+# "fail1" mode: process 1's eval loop raises mid-shard — the evaluator
+# must still join the collective gather (no cluster hang) and re-raise;
+# the healthy primary must refuse to score the partial set
+mode = sys.argv[4] if len(sys.argv) > 4 else "ok"
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=pid)
 
@@ -47,7 +51,17 @@ def finish(orig_heat, flip_heat, orig_bbox, img_h, name, img_id, peaks=None):
 
 
 ev._finish_image = finish
+if mode == "fail1" and pid == 1:
+    def boom(*a, **k):
+        raise RuntimeError("injected shard failure")
+    ev._get_outputs = boom
+
 result_file = os.path.join(root, "merged.json") if pid == 0 else None
-metrics = ev.coco_eval(ann_file=ann, img_dir=root, result_file=result_file)
+try:
+    metrics = ev.coco_eval(ann_file=ann, img_dir=root,
+                           result_file=result_file)
+except Exception as e:
+    print(f"RESULT {pid} error={type(e).__name__}: {e}", flush=True)
+    sys.exit(3)
 print(f"RESULT {pid} n={len(seen)} ap={metrics.get('AP', -1.0):.3f} "
       f"ids={sorted(seen)}", flush=True)

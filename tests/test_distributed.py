@@ -95,7 +95,7 @@ def test_two_process_cluster():
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 _, pid, mean, seen = line.split(" ", 3)
-                results[int(pid)] = (mean, eval(seen.split("=", 1)[1]))
+                results[int(pid)] = (mean, __import__("json").loads(seen.split("=", 1)[1]))
     assert set(results) == {0, 1}, outs
     assert results[0][0] == results[1][0] == "mean=3.5"
     # the two hosts' dataset shards are disjoint and cover 0..15
@@ -161,7 +161,7 @@ def test_two_process_distributed_coco_eval(tmp_path):
                 _, pid, n, ap, ids = line.split(" ", 4)
                 results[int(pid)] = (int(n.split("=")[1]),
                                      float(ap.split("=")[1]),
-                                     eval(ids.split("=", 1)[1]))
+                                     json.loads(ids.split("=", 1)[1]))
     assert set(results) == {0, 1}, outs
     # disjoint exhaustive auto-shard: 2 images each, all 4 covered
     assert results[0][0] == results[1][0] == 2
@@ -172,3 +172,56 @@ def test_two_process_distributed_coco_eval(tmp_path):
     # primary wrote the merged result file
     with open(os.path.join(root, "merged.json")) as f:
         assert len(json.load(f)) == 4
+
+
+def test_distributed_coco_eval_shard_failure_no_hang(tmp_path):
+    """One shard dies mid-eval: the dead process must still join the
+    collective gather (no cluster hang), re-raise its error, and the
+    healthy primary must refuse to score the partial result set."""
+    import cv2
+    import json
+
+    root = str(tmp_path)
+    imgs, anns = [], []
+    for i in range(1, 5):
+        cv2.imwrite(os.path.join(root, f"{i}.png"),
+                    np.full((64, 80, 3), 40 * i, np.uint8))
+        imgs.append({"id": i, "height": 64, "width": 80,
+                     "file_name": f"{i}.png"})
+        anns.append({"id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+                     "num_keypoints": 17, "area": 900.0,
+                     "bbox": [15, 10, 30, 40],
+                     "keypoints": [20, 15, 2] * 17})
+    with open(os.path.join(root, "gt.json"), "w") as f:
+        json.dump({"images": imgs, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "mh_eval_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(worker))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(p), str(port), root, "fail1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for p in (0, 1)]
+    outs = []
+    try:
+        # the whole point: completes well within the timeout (no hang)
+        for p in procs:
+            out, _ = p.communicate(timeout=120)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    # both exit nonzero with a surfaced error, not a hang/success
+    assert procs[0].returncode == 3, outs[0][-1500:]
+    assert procs[1].returncode == 3, outs[1][-1500:]
+    assert "RESULT 0 error=RuntimeError" in outs[0]
+    assert "RESULT 1 error=RuntimeError" in outs[1]
+    assert "refusing to score" in outs[0]   # primary's partial-set refusal
+    assert "injected shard failure" in outs[1]  # original error re-raised
