@@ -104,6 +104,8 @@ def test_two_process_cluster():
 
 def test_gather_objects_single_process():
     assert dist.gather_objects({"a": [1, 2]}) == [{"a": [1, 2]}]
+    # decode=False still participates (no-op here) but returns nothing
+    assert dist.gather_objects({"a": [1, 2]}, decode=False) is None
 
 
 def test_two_process_distributed_coco_eval(tmp_path):
