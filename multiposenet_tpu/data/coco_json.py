@@ -79,31 +79,60 @@ class COCOIndex:
     loadImgs = load_imgs
 
     def load_res(self, results: Union[str, List[Dict]]) -> "COCOIndex":
-        """Build a result index sharing this gt's image table
-        (pycocotools COCO.loadRes for keypoint/bbox result lists)."""
+        """Build a result index sharing this gt's image table.
+
+        Exact transcription of pycocotools ``COCO.loadRes`` (cocoapi
+        PythonAPI/pycocotools/coco.py) for box/keypoint result lists — the
+        tool the reference scores with (evaluate/tester.py:184).  Branch
+        order matters and is preserved:
+
+        1. ``'bbox' in ann and ann['bbox'] != []`` — the branch the
+           reference's own results take (its result dicts always carry the
+           person detection box, tester.py:503-510): ``area`` is OVERWRITTEN
+           with bbox w*h, a rectangle ``segmentation`` is synthesized, and
+           ``iscrowd`` is forced to 0.
+        2. otherwise ``'keypoints'`` — ``bbox``/``area`` are OVERWRITTEN
+           with the x/y extents over ALL keypoint triples INCLUDING
+           unlabeled (v=0) slots at (0, 0); this is what pycocotools does
+           even though zeros drag the extent to the image origin.
+
+        ``id`` is always overwritten with the 1-based enumeration index.
+        Deviation: pycocotools mutates the caller's dicts in place; here
+        they are copied (not observable through the returned index).
+        """
         if isinstance(results, str):
             with open(results) as f:
                 results = json.load(f)
-        res_dataset = {
-            "images": list(self.imgs.values()),
-            "categories": copy.deepcopy(self.dataset.get("categories", [])),
-            "annotations": [],
-        }
+        assert isinstance(results, list), "results must be a list of dicts"
+        bad = {r["image_id"] for r in results} - set(self.imgs)
+        assert not bad, f"results reference unknown image ids: {sorted(bad)[:5]}"
+
+        anns = []
         for i, r in enumerate(results):
             ann = dict(r)
-            ann.setdefault("id", i + 1)
-            if "keypoints" in ann and "area" not in ann:
+            if "bbox" in ann and ann["bbox"] != []:
+                bb = ann["bbox"]
+                x1, x2, y1, y2 = bb[0], bb[0] + bb[2], bb[1], bb[1] + bb[3]
+                if "segmentation" not in ann:
+                    ann["segmentation"] = [[x1, y1, x1, y2, x2, y2, x2, y1]]
+                ann["area"] = bb[2] * bb[3]
+                ann["id"] = i + 1
+                ann["iscrowd"] = 0
+            elif "keypoints" in ann:
                 kp = ann["keypoints"]
-                xs = [kp[j] for j in range(0, len(kp), 3) if kp[j + 2] > 0]
-                ys = [kp[j + 1] for j in range(0, len(kp), 3) if kp[j + 2] > 0]
-                if xs:
-                    x0, x1 = min(xs), max(xs)
-                    y0, y1 = min(ys), max(ys)
-                    ann["area"] = (x1 - x0) * (y1 - y0)
-                    ann.setdefault("bbox", [x0, y0, x1 - x0, y1 - y0])
-                else:
-                    ann["area"] = 0
-                    ann.setdefault("bbox", [0, 0, 0, 0])
-            ann.setdefault("iscrowd", 0)
-            res_dataset["annotations"].append(ann)
-        return COCOIndex(dataset=res_dataset)
+                xs = kp[0::3]
+                ys = kp[1::3]
+                x0, x1 = min(xs), max(xs)
+                y0, y1 = min(ys), max(ys)
+                ann["area"] = (x1 - x0) * (y1 - y0)
+                ann["id"] = i + 1
+                ann["bbox"] = [x0, y0, x1 - x0, y1 - y0]
+            else:
+                raise ValueError("result dicts must carry 'bbox' or 'keypoints'")
+            anns.append(ann)
+
+        return COCOIndex(dataset={
+            "images": list(self.imgs.values()),
+            "categories": copy.deepcopy(self.dataset.get("categories", [])),
+            "annotations": anns,
+        })

@@ -124,3 +124,31 @@ def test_summary_format():
 def test_sigmas_match_coco():
     assert len(KPT_SIGMAS) == 17
     assert abs(KPT_SIGMAS[0] - 0.026) < 1e-9
+
+
+def test_dt_area_from_person_box_drives_area_bucket_ignore():
+    """Unmatched detections outside an area bucket are ignored, and the dt
+    area that decides this comes from the person DETECTION box (pycocotools
+    loadRes bbox branch: area = w*h), not the keypoint extent.  An
+    out-of-bucket false positive must not cost medium-bucket AP, while an
+    in-bucket one must (pycocotools cocoeval.evaluateImg dt-ignore rule)."""
+    gt = make_gt(num_imgs=1, people_per_img=1)
+    # the gt person: area 3000 -> inside the medium bucket [32^2, 96^2]
+    tp = _dets_from_gt(gt)
+    tp[0]["bbox"] = [40.0, 50.0, 50.0, 60.0]  # 3000 -> medium
+
+    fp_kps = [390.0, 390.0, 1.0] * 17  # far from the gt, never matches
+    fp_large = dict(image_id=1, category_id=1, score=0.95, keypoints=fp_kps,
+                    bbox=[200.0, 200.0, 150.0, 150.0])  # 22500 -> large
+    fp_medium = dict(image_id=1, category_id=1, score=0.95, keypoints=fp_kps,
+                     bbox=[200.0, 200.0, 50.0, 60.0])   # 3000 -> medium
+
+    r_large = KeypointEval(gt, gt.load_res(tp + [fp_large])).evaluate()
+    r_medium = KeypointEval(gt, gt.load_res(tp + [fp_medium])).evaluate()
+
+    # the large-box FP is ignored in the medium bucket -> perfect AP there
+    assert abs(r_large["AP_medium"] - 1.0) < 1e-6, r_large
+    # the medium-box FP counts as a medium-bucket false positive
+    assert r_medium["AP_medium"] < 1.0 - 1e-6, r_medium
+    # in the 'all' bucket both FPs count equally
+    assert abs(r_large["AP"] - r_medium["AP"]) < 1e-9

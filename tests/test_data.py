@@ -86,13 +86,33 @@ def test_coco_index_lookups():
     assert c.loadImgs(2)[0]["file_name"] == "b.jpg"
 
 
-def test_coco_load_res_computes_area():
+def test_coco_load_res_keypoint_branch_includes_zero_triples():
+    """pycocotools loadRes keypoint branch: bbox/area from extents over ALL
+    triples INCLUDING (0,0) v=0 slots (cocoapi coco.py loadRes)."""
     c = make_gt_index()
     res = c.load_res([{"image_id": 1, "category_id": 1, "score": 0.9,
                        "keypoints": [10, 10, 1, 20, 30, 1] + [0, 0, 0] * 15}])
     ann = res.img_to_anns[1][0]
-    assert ann["area"] == 10 * 20
-    assert ann["bbox"] == [10, 10, 10, 20]
+    # the fifteen (0,0,0) slots drag the extent to the origin
+    assert ann["area"] == 20 * 30
+    assert ann["bbox"] == [0, 0, 20, 30]
+    assert ann["id"] == 1
+
+
+def test_coco_load_res_bbox_branch_takes_precedence():
+    """When results carry a non-empty bbox (the reference's results always
+    do, tester.py:503-510) pycocotools' bbox branch fires: area = w*h of the
+    detection box, bbox preserved, iscrowd forced, segmentation added."""
+    c = make_gt_index()
+    res = c.load_res([{"image_id": 1, "category_id": 1, "score": 0.9,
+                       "bbox": [5.0, 6.0, 40.0, 50.0], "iscrowd": 7,
+                       "keypoints": [10, 10, 1, 20, 30, 1] + [0, 0, 0] * 15}])
+    ann = res.img_to_anns[1][0]
+    assert ann["area"] == 40.0 * 50.0
+    assert ann["bbox"] == [5.0, 6.0, 40.0, 50.0]
+    assert ann["iscrowd"] == 0
+    assert ann["segmentation"] == [[5.0, 6.0, 5.0, 56.0, 45.0, 56.0, 45.0, 6.0]]
+    assert ann["id"] == 1
 
 
 # ------------------------------------------------------------------- joints
