@@ -94,7 +94,11 @@ class PRNConfig:
     """PRN grouping (tester.py:333-513; prn_data_pipeline.py)."""
 
     in_thres: float = 0.21         # bbox expansion for peak-inside test
-    max_people: int = 32           # fixed PRN batch capacity per image
+    # fixed PRN batch capacity per image (the reference runs PRN per person,
+    # unbounded, tester.py:400-406).  COCO val2017 images carry up to ~20
+    # person annotations; 64 covers every real image with headroom for
+    # detector false positives.  Evaluator logs whenever this clips.
+    max_people: int = 64
     score_window: int = 15         # NxN crop around peak for PRN scoring (tester.py:416)
     min_num_keypoints: int = 3     # training anns need > this many kps (prn_data_pipeline.py:120)
     # greedy mutual-best assignment on device (ops/grouping.py; fuzz-matched

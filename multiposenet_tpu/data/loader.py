@@ -112,6 +112,15 @@ class Loader:
         while True:
             yield from iter(self)
 
+    def copy(self) -> "Loader":
+        """Independent loader over the same dataset and settings (reference
+        datasets/dataloader.py:31-38 sDataLoader.copy), with its own epoch
+        counter so iteration order restarts from the base seed."""
+        return Loader(self.dataset, self.batch_size, shuffle=self.shuffle,
+                      num_workers=self.num_workers, seed=self.seed,
+                      drop_last=self.drop_last, prefetch=self.prefetch,
+                      shard_id=self.shard_id, num_shards=self.num_shards)
+
 
 def device_prefetch(iterator, put_fn: Callable, depth: int = 2):
     """Overlap H2D transfer with compute: put batches onto device `depth`

@@ -54,20 +54,30 @@ def det_scale_idx(n_scales: int) -> int:
 
 
 def _joints_to_peak_arrays(joint_list: Sequence[Sequence[float]],
-                           max_peaks: int
+                           max_peaks: int, context: str = ""
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """[x, y, score, id, joint_type(17)] rows -> padded (17, P, 2)/(17, P)
     arrays for the device PRN stage.  Peak order within a joint follows the
-    input order (the reference's instance order)."""
+    input order (the reference's instance order).  The reference processes
+    an unbounded peak list (tester.py:338-350); overflowing the fixed
+    capacity here is LOGGED, never silent."""
     peak_xy = np.zeros((NUM_J17, max_peaks, 2), np.float32)
     peak_valid = np.zeros((NUM_J17, max_peaks), bool)
     counts = [0] * NUM_J17
+    dropped = 0
     for row in joint_list:
         t = int(row[4])
         if counts[t] < max_peaks:
             peak_xy[t, counts[t]] = (row[0], row[1])
             peak_valid[t, counts[t]] = True
             counts[t] += 1
+        else:
+            dropped += 1
+    if dropped:
+        logger.warning(
+            "%s: dropped %d peak(s) over max_peaks_per_joint=%d — raise "
+            "cfg.peaks.max_peaks_per_joint to process this crowd fully",
+            context or "image", dropped, max_peaks)
     # reference prn_process enters every peak with confidence 1 (tester.py:345)
     peak_score = np.where(peak_valid, 1.0, -1.0).astype(np.float32)
     return peak_xy, peak_score, peak_valid
@@ -80,6 +90,13 @@ def peak_arrays_to_joint_list(coords: np.ndarray, scores: np.ndarray,
     [x, y, score, id, joint_type] (joint_utils.py:141-152).  Peak ids are
     assigned in (joint, slot) order — the device top-k emits slots in
     score-descending order where the reference's host scan is y-major."""
+    full = np.asarray(valid).all(axis=1)
+    if full.any():
+        logger.warning(
+            "device peak capacity saturated for joint type(s) %s "
+            "(max_peaks_per_joint=%d): the on-device top-k may have "
+            "truncated lower-scoring peaks — raise cfg.peaks.max_peaks_per_joint",
+            np.where(full)[0].tolist(), valid.shape[1])
     joint_list = []
     pid = 0
     for j in range(coords.shape[0]):
@@ -475,13 +492,22 @@ class Evaluator:
 
         maxb = self.cfg.prn.max_people
         nb = min(len(boxes), maxb)
+        if len(boxes) > maxb:
+            # the reference runs PRN per person, unbounded (tester.py:400-406)
+            logger.warning(
+                "%s: %d person boxes exceed cfg.prn.max_people=%d; the "
+                "%d lowest-ranked are dropped — raise max_people to group "
+                "this crowd fully",
+                file_name or f"image {image_id}", len(boxes), maxb,
+                len(boxes) - maxb)
         boxes_pad = np.zeros((maxb, 4), np.float32)
         boxes_pad[:nb] = boxes[:nb]
         box_valid = np.zeros(maxb, bool)
         box_valid[:nb] = True
 
         peak_xy, peak_score, peak_valid = _joints_to_peak_arrays(
-            joint_list, self.cfg.peaks.max_peaks_per_joint)
+            joint_list, self.cfg.peaks.max_peaks_per_joint,
+            context=file_name or f"image {image_id}")
 
         args = (self.params, jnp.asarray(peak_xy), jnp.asarray(peak_score),
                 jnp.asarray(peak_valid), jnp.asarray(boxes_pad),

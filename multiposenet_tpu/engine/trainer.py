@@ -216,6 +216,18 @@ class Trainer:
                         best_loss = val_loss
                     self.scheduler.step(val_loss)
 
+    def _flush_logs(self, pending, meters) -> Optional[Dict[str, float]]:
+        """Fetch all buffered per-step device logs in ONE transfer and feed
+        the meters.  Returns the newest step's logs as host floats."""
+        if not pending:
+            return None
+        fetched = jax.device_get(pending)
+        pending.clear()
+        for logs in fetched:
+            for k, v in logs.items():
+                meters.setdefault(k, AverageValueMeter()).add(float(v))
+        return {k: float(v) for k, v in fetched[-1].items()}
+
     def _train_one_epoch(self):
         cfg = self.cfg.train
         meters: Dict[str, AverageValueMeter] = {}
@@ -229,27 +241,35 @@ class Trainer:
         from multiposenet_tpu.data.loader import device_prefetch
         prefetched = device_prefetch(
             iter(self.train_data), lambda b: shard_batch(self.mesh, b), depth=2)
+        # per-step logs stay ON DEVICE between prints: a float() per scalar
+        # per step would block on the async dispatch queue and defeat the
+        # prefetch overlap (one host read costs ~30 ms on a remote runtime,
+        # rivaling the step itself).  One jax.device_get per print_freq
+        # fetches the whole buffered window.
+        pending: List[Dict] = []
+        self.batch_timer.tic()
+        interval_steps = 0
         for step, batch in enumerate(prefetched):
             self.data_timer.toc(average=False)
-            self.batch_timer.tic()
             self.state, logs = self.train_step(
                 self.state, batch, *self._step_args(self.scheduler.lr))
-            if step % cfg.print_freq == 0:
-                jax.block_until_ready(logs)
-            self.batch_timer.toc(average=False)
+            pending.append(logs)
             self.global_step += 1
-
-            for k, v in logs.items():
-                meters.setdefault(k, AverageValueMeter()).add(float(v))
+            interval_steps += 1
 
             if step % cfg.print_freq == 0:
-                self._print_log(step, n_batches, meters)
+                newest = self._flush_logs(pending, meters)  # syncs the queue
+                # average step wall-time over the whole print interval — the
+                # honest per-step number under async dispatch
+                step_time = self.batch_timer.toc(average=False) / interval_steps
+                self._print_log(step, n_batches, meters, step_time)
                 if self.metrics is not None:
-                    self.metrics.write(self.global_step,
-                                       {k: float(v) for k, v in logs.items()},
-                                       prefix="train/")
+                    self.metrics.write(self.global_step, newest, prefix="train/")
+                self.batch_timer.tic()
+                interval_steps = 0
 
             if self.global_step % cfg.save_freq_step == 0 and self.is_primary:
+                self._flush_logs(pending, meters)
                 ckpt_lib.save_checkpoint(self.save_dir, self.state,
                                          self.last_epoch, cfg.save_nckpt_max,
                                          step=self.global_step)
@@ -268,30 +288,39 @@ class Trainer:
                 raise SystemExit(0)
 
             self.data_timer.tic()
+        self._flush_logs(pending, meters)
 
     def validate(self, max_batches: int) -> float:
-        meter = AverageValueMeter()
+        """Meter EVERY scalar the val step emits (per-stage losses, max/min
+        heatmap, ...), mirroring the reference's val loss breadth
+        (evaluate/tester.py:515-543 via _process_log); returns mean 'loss'.
+        Device logs are buffered and fetched in one transfer."""
+        pending = []
         for i, batch in enumerate(self.val_data):
             if i >= max_batches:
                 break
             batch = shard_batch(self.mesh, batch)
-            logs = self.val_step(self.state, batch)
-            meter.add(float(logs["loss"]))
-        if meter.n == 0:
+            pending.append(self.val_step(self.state, batch))
+        meters: Dict[str, AverageValueMeter] = {}
+        newest = self._flush_logs(pending, meters)
+        if newest is None:
             logger.warning("validation loader produced no batches "
                            "(dataset smaller than batch_size?)")
             return float("inf")
-        mean, std = meter.value()
-        logger.info("validation loss: mean %.6f std %.6f", mean, std)
-        return mean
+        means = {k: m.value()[0] for k, m in meters.items()}
+        logger.info("validation (%d batches): %s", meters["loss"].n,
+                    "  ".join(f"{k}={v:.6f}" for k, v in sorted(means.items())))
+        if self.metrics is not None:
+            self.metrics.write(self.global_step, means, prefix="val/")
+        return means["loss"]
 
-    def _print_log(self, step, n_batches, meters):
+    def _print_log(self, step, n_batches, meters, step_time: float):
         lines = [f"{self.cfg.train.exp_name}: epoch {self.last_epoch} "
                  f"[{step}/{n_batches or '?'}] lr={self.scheduler.lr:.2e}"]
         for k, m in meters.items():
             mean, _ = m.value()
             lines.append(f"\t{k}: {mean:.10f}")
-        bt = self.batch_timer.duration + 1e-9
+        bt = step_time + 1e-9
         dt = self.data_timer.duration + 1e-9
         fps = self.cfg.train.batch_size / bt
         if n_batches:

@@ -42,6 +42,38 @@ def _case(rng, n_people, n_joints=6):
     return joints, boxes
 
 
+def test_crowded_image_capacity_clipping_is_logged(evaluators, caplog, monkeypatch):
+    """Fixed PRN capacities must never clip silently (the reference is
+    unbounded, tester.py:333-513): exceeding max_people or
+    max_peaks_per_joint logs an explicit warning naming the config knob."""
+    import logging
+    from multiposenet_tpu.engine.evaluator import _joints_to_peak_arrays
+    from multiposenet_tpu.utils.logging import logger as mpn_logger
+
+    monkeypatch.setattr(mpn_logger, "propagate", True)
+
+    # peak overflow: 5 peaks of one joint type into capacity 3
+    with caplog.at_level(logging.WARNING, logger="multiposenet_tpu"):
+        xy, score, valid = _joints_to_peak_arrays(
+            [[10.0 * i, 5.0, 1.0, i, 0] for i in range(5)], max_peaks=3,
+            context="crowd.jpg")
+    assert valid[0].sum() == 3
+    assert any("max_peaks_per_joint" in r.message for r in caplog.records)
+    caplog.clear()
+
+    # box overflow: 6 people into max_people=4 — still processes the first 4
+    dev, _ = evaluators
+    small_cfg = dataclasses.replace(
+        dev.cfg, prn=dataclasses.replace(dev.cfg.prn, max_people=4))
+    small = Evaluator(small_cfg, dev.model, dev.params)
+    rng = np.random.RandomState(0)
+    joints, boxes = _case(rng, n_people=6)
+    with caplog.at_level(logging.WARNING, logger="multiposenet_tpu"):
+        results = small.prn_process(list(map(list, joints)), boxes, "crowd.jpg", 1)
+    assert any("max_people" in r.message for r in caplog.records)
+    assert len(results) == 4
+
+
 def test_device_and_host_prn_process_agree(evaluators):
     dev, host = evaluators
     rng = np.random.RandomState(3)
