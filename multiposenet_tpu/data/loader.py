@@ -123,13 +123,45 @@ class Loader:
 
 
 def device_prefetch(iterator, put_fn: Callable, depth: int = 2):
-    """Overlap H2D transfer with compute: put batches onto device `depth`
-    steps ahead (the TPU analog of pinned-memory prefetch)."""
-    import collections
-    buf = collections.deque()
-    for batch in iterator:
-        buf.append(put_fn(batch))
-        if len(buf) >= depth:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    """Overlap H2D transfer with compute: a background thread runs
+    `put_fn` (device placement) up to `depth` batches ahead.
+
+    The put happens OFF the consumer thread — `jax.device_put` releases
+    the GIL during the transfer, so H2D genuinely overlaps the main
+    thread's dispatch work.  (A same-thread lookahead buffer would still
+    serialize when the put itself blocks, e.g. over a remote runtime
+    where an 11 MB batch costs ~250 ms to ship.)
+    """
+    out_q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def pump():
+        try:
+            for batch in iterator:
+                item = (None, put_fn(batch))
+                while not stop.is_set():
+                    try:
+                        out_q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # propagate into the consumer
+            out_q.put((e, None))
+            return
+        out_q.put((None, _END))
+
+    th = threading.Thread(target=pump, daemon=True, name="device_prefetch")
+    th.start()
+    try:
+        while True:
+            exc, item = out_q.get()
+            if exc is not None:
+                raise exc
+            if item is _END:
+                return
+            yield item
+    finally:
+        stop.set()

@@ -98,6 +98,11 @@ def group_peaks(
                         break
                     else:
                         # competitor's ASCENDING argsort incl. zeros
+                        # (tester.py:477).  NOTE: among exact zero ties the
+                        # reference's unstable quicksort pick is
+                        # implementation-defined; this twin inherits
+                        # numpy's current behavior, the device path
+                        # (ops/grouping.py) pins first-index
                         row2 = np.argsort(sub[column[0]])
                         if row2[0] == r:
                             p = kp_ids[r]

@@ -202,3 +202,56 @@ def test_boxes_from_masks_and_padding():
     padded = pad_boxes(boxes, 4)
     assert padded.shape == (4, 5)
     assert (padded[2:] == -1).all()
+
+
+# ------------------------------------------------------------------ loader
+
+def test_device_prefetch_order_exceptions_and_early_exit():
+    import time
+    from multiposenet_tpu.data.loader import device_prefetch
+
+    # order preserved, every item delivered, put_fn applied off-thread
+    out = list(device_prefetch(iter(range(7)), lambda x: x * 10, depth=2))
+    assert out == [0, 10, 20, 30, 40, 50, 60]
+
+    # exceptions from the source iterator propagate to the consumer
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+    g = device_prefetch(bad(), lambda x: x, depth=2)
+    assert next(g) == 1
+    try:
+        next(g)
+        assert False, "expected RuntimeError"
+    except RuntimeError as e:
+        assert "boom" in str(e)
+
+    # abandoning the consumer must not deadlock the pump thread
+    import threading
+    before = threading.active_count()
+    g = device_prefetch(iter(range(1000)), lambda x: x, depth=2)
+    assert next(g) == 0
+    g.close()  # triggers the generator's finally -> stop event
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_loader_copy_same_settings():
+    from multiposenet_tpu.data.loader import Loader
+
+    class DS:
+        def __len__(self):
+            return 8
+        def __getitem__(self, i, rng=None):
+            return {"x": np.full((2,), i, np.float32)}
+
+    a = Loader(DS(), batch_size=2, shuffle=True, num_workers=2, seed=5)
+    list(a)  # advance epoch
+    b = a.copy()
+    assert (b.dataset, b.batch_size, b.num_workers, b.seed) == \
+        (a.dataset, a.batch_size, a.num_workers, a.seed)
+    assert b.epoch == 0  # fresh epoch counter
+    batches = list(b)
+    assert len(batches) == 4 and batches[0]["x"].shape == (2, 2)

@@ -322,6 +322,43 @@ def test_detection_loss_parity(bundle):
                                float(ref_logs["regression_loss"]), rtol=2e-5)
 
 
+def test_resnet101_converter_tree_matches(tmp_path):
+    """The flagship backbone (FPN101, reference fpn.py:132): every oracle
+    state_dict entry maps onto the Flax tree with matching shapes (23-block
+    layer3 included).  Forward parity is covered at resnet50 — the blocks
+    are identical modules, only counts differ."""
+    import jax
+    net_utils = import_reference_net_utils()
+    net = build_reference_posenet(layers=101, seed=1)
+    h5_path = os.path.join(str(tmp_path), "ckpt_0.h5")
+    net_utils.save_net(h5_path, net)
+    conv = _load_converter()
+    params, batch_stats, skipped = conv.convert(h5_path, backbone="resnet101")
+    assert skipped == []
+
+    cfg = Config(model=ModelConfig(backbone="resnet101"))
+    model = PoseNet(cfg.model)
+    ref = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           jnp.zeros((1, 56, 36, 17), jnp.float32),
+                           method=PoseNet.init_all))
+
+    def flat(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flat(v, prefix + (k,)))
+            else:
+                out[prefix + (k,)] = tuple(v.shape)
+        return out
+
+    got = {**flat(params), **flat(batch_stats, ("batch_stats",))}
+    want = {**flat(ref["params"]),
+            **flat(ref.get("batch_stats", {}), ("batch_stats",))}
+    assert got == want
+
+
 def test_prn_loss_parity(bundle):
     rng = np.random.RandomState(7)
     grid = rng.rand(2, 56, 36, 17).astype(np.float32)
