@@ -487,7 +487,12 @@ class Evaluator:
         boxes = np.asarray(
             [[b[0], b[1], b[2] - b[0], b[3] - b[1]] for b in boxes_xyxy],
             np.float32).reshape(-1, 4)
-        if len(boxes) == 0 or len(joint_list) == 0:
+        if len(boxes) == 0:
+            # NOTE: empty joint_list does NOT early-return — the reference's
+            # `len(peaks) == 0` guard (tester.py:359) is dead code (peaks is
+            # always a list of 17 type-buckets), so with boxes but no peaks
+            # it falls through to the fallback branch and emits one all-v=0
+            # result per box; we reproduce that
             return []
 
         maxb = self.cfg.prn.max_people

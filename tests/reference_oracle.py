@@ -116,6 +116,70 @@ def import_reference_net_utils():
     return net_utils
 
 
+def import_reference_tester():
+    """Import the reference's eval engine (evaluate/tester.py) with stubs
+    for its two absent dependencies:
+
+    * ``pycocotools`` — empty COCO/COCOeval shells (only ``coco_eval``
+      touches them; the methods under differential test don't);
+    * ``skimage.filters.gaussian`` — the exact scipy formulation skimage
+      wraps (``ndi.gaussian_filter(float64, sigma, mode='nearest',
+      truncate=4.0)``); ``prn_gaussian.gaussian`` IS this import (its own
+      ``def gaussian`` is commented out, prn_gaussian.py:64-73).
+    """
+    if "tester" in _cache:
+        return _cache["tester"]
+    import_reference()
+    from scipy import ndimage as ndi
+
+    pyco = types.ModuleType("pycocotools")
+    coco_mod = types.ModuleType("pycocotools.coco")
+    cocoeval_mod = types.ModuleType("pycocotools.cocoeval")
+    coco_mod.COCO = type("COCO", (), {})
+    cocoeval_mod.COCOeval = type("COCOeval", (), {})
+    pyco.coco = coco_mod
+    pyco.cocoeval = cocoeval_mod
+    sys.modules.setdefault("pycocotools", pyco)
+    sys.modules.setdefault("pycocotools.coco", coco_mod)
+    sys.modules.setdefault("pycocotools.cocoeval", cocoeval_mod)
+
+    def skimage_gaussian(image, sigma=1, output=None, mode="nearest",
+                         cval=0, preserve_range=False, truncate=4.0, **kw):
+        return ndi.gaussian_filter(np.asarray(image, np.float64), sigma,
+                                   mode=mode, cval=cval, truncate=truncate)
+
+    skimage = types.ModuleType("skimage")
+    filters = types.ModuleType("skimage.filters")
+    filters.gaussian = skimage_gaussian
+    skimage.filters = filters
+    sys.modules.setdefault("skimage", skimage)
+    sys.modules.setdefault("skimage.filters", filters)
+
+    from evaluate import tester  # noqa: E402
+
+    _cache["tester"] = tester
+    return tester
+
+
+def make_reference_tester(net, **param_overrides):
+    """A reference Tester wired to an in-process oracle net, skipping
+    __init__'s ckpt-loading/DataParallel/cuda machinery (tester.py:110-129).
+    poseNet.forward accepts the ``[tensor, subnet_name]`` lists Tester
+    passes, so the bare module stands in for the DataParallel wrapper."""
+    tester = import_reference_tester()
+    t = tester.Tester.__new__(tester.Tester)
+    params = tester.TestParams()
+    for k, v in param_overrides.items():
+        setattr(params, k, v)
+    t.params = params
+    t.model = net
+    t.batch_timer = None
+    t.data_timer = None
+    t.val_data = None
+    t.batch_processor = None
+    return t
+
+
 def build_reference_posenet(layers: int = 50, seed: int = 0):
     """Construct a randomly initialized reference poseNet in eval mode.
 

@@ -1,20 +1,21 @@
 """Quantify bf16-vs-f32 drift through the eval path (VERDICT r1 item 8).
 
-Runs the SAME parameters through the fused inference pipeline twice — once
-with float32 activations, once with bfloat16 (`compute_dtype`) — and
-reports the drift in every quantity the COCO eval protocol consumes:
+Runs the SAME parameters through the inference graphs twice — float32 vs
+bfloat16 activations (`compute_dtype`) — and reports drift in each
+quantity the COCO eval protocol consumes, each compared in an ALIGNED way
+(per anchor / per heatmap cell / per peak), so the numbers measure
+numeric precision rather than decision-cascade chaos:
 
-  heatmaps : max / rms deviation (relative to the f32 dynamic range)
-  peaks    : fraction of peak slots whose refined coordinate moved, and the
-             mean pixel shift of moved peaks; peak-set membership changes
-  boxes    : NMS keep-count delta and max coordinate shift of kept boxes
+  heatmaps : max / rms deviation vs the f32 dynamic range
+  peaks    : membership changes + refined-coordinate shifts (the heatmap
+             head is rescaled so the random-weight net actually produces
+             peaks above thre1 with a realistic ~[0,1] range)
+  scores   : per-anchor max-class sigmoid drift (bounds how close to the
+             0.05/0.5 thresholds a detection must sit to flip)
+  boxes    : per-anchor decoded+clipped coordinate drift in pixels
 
 Parameters come from the reference oracle when torch is available (the
-round-2 parity harness: the real reference net's randomized weights pushed
-through tools/convert_torch_ckpt.py, realistic BN statistics), else from
-the model's own init.
-
-Output: a markdown table for docs/PERF.md.
+round-2 parity harness weights), else from the model's own init.
 
 Usage: python tools/measure_bf16_drift.py [--images 8] [--size 480]
        [--backbone resnet101]
@@ -80,8 +81,11 @@ def main():
     import jax
     import jax.numpy as jnp
     from multiposenet_tpu.config import Config, ModelConfig
-    from multiposenet_tpu.engine.inference import make_full_pipeline
+    from multiposenet_tpu.engine.inference import (make_full_pipeline,
+                                                   make_keypoint_pipeline)
     from multiposenet_tpu.models.posenet import PoseNet
+    from multiposenet_tpu.ops.anchors import anchors_for_shape
+    from multiposenet_tpu.ops.boxes import clip_boxes, decode_boxes
 
     cfg32 = Config(model=ModelConfig(backbone=args.backbone))
     cfg16 = dataclasses.replace(
@@ -92,50 +96,83 @@ def main():
     variables = get_params(args.backbone, model32, cfg32)
 
     hw = (args.size, args.size)
-    run32 = make_full_pipeline(model32, cfg32, hw)
-    run16 = make_full_pipeline(model16, cfg16, hw)
-
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(
         (rng.rand(args.images, *hw, 3) * 255).astype(np.uint8))
 
-    o32 = jax.device_get(run32(variables, imgs))
-    o16 = jax.device_get(run16(variables, imgs))
+    fwd32 = make_keypoint_pipeline(model32, cfg32)
+    fwd16 = make_keypoint_pipeline(model16, cfg16)
+
+    # --- rescale the heatmap head so random weights produce real peaks ---
+    probe_h, _, _ = jax.device_get(fwd32(variables, imgs[:1]))
+    peak_target = 0.7
+    scale = peak_target / max(float(np.abs(probe_h).max()), 1e-9)
+    kh = variables["params"]["keypoint_head"]["convfin"]
+    variables["params"]["keypoint_head"]["convfin"] = dict(
+        kh, kernel=np.asarray(kh["kernel"]) * scale,
+        bias=np.asarray(kh["bias"]) * scale)
+    print(f"# convfin rescaled x{scale:.1f} so f32 heatmaps peak ~{peak_target}",
+          file=sys.stderr)
+
+    h32, c32, r32 = jax.device_get(fwd32(variables, imgs))
+    h16, c16, r16 = jax.device_get(fwd16(variables, imgs))
 
     # --- heatmaps ---------------------------------------------------------
-    h32, h16 = np.asarray(o32.heatmaps, np.float32), np.asarray(o16.heatmaps, np.float32)
+    h32 = np.asarray(h32, np.float32)
+    h16 = np.asarray(h16, np.float32)
     rng_dyn = float(h32.max() - h32.min())
     hm_max = float(np.abs(h32 - h16).max())
     hm_rms = float(np.sqrt(np.mean((h32 - h16) ** 2)))
 
-    # --- peaks ------------------------------------------------------------
-    v32 = np.asarray(o32.peaks.valid)
-    v16 = np.asarray(o16.peaks.valid)
-    c32 = np.asarray(o32.peaks.coords, np.float32)
-    c16 = np.asarray(o16.peaks.coords, np.float32)
-    both = v32 & v16
-    membership_delta = int(np.sum(v32 != v16))
+    # --- peaks (through the full device peak finder) ----------------------
+    # random-weight heatmaps carry far more local maxima than a trained
+    # model; with the default 32-slot capacity the top-k saturates and
+    # ulp-level score jitter swaps WHICH near-identical peaks are kept —
+    # a selection artifact, not coordinate drift.  Raise the capacity so
+    # the comparison sees every peak and only true thre1 flips remain.
+    from multiposenet_tpu.config import PeakConfig
+    bigp = PeakConfig(max_peaks_per_joint=192)
+    cfgp32 = dataclasses.replace(cfg32, peaks=bigp)
+    cfgp16 = dataclasses.replace(cfg16, peaks=bigp)
+    run32 = make_full_pipeline(model32, cfgp32, hw)
+    run16 = make_full_pipeline(model16, cfgp16, hw)
+    p32 = jax.device_get(run32(variables, imgs).peaks)
+    p16 = jax.device_get(run16(variables, imgs).peaks)
+    v32, v16 = np.asarray(p32.valid), np.asarray(p16.valid)
+    c32a = np.asarray(p32.coords, np.float32)
+    c16a = np.asarray(p16.coords, np.float32)
     n_peaks = int(v32.sum())
-    if both.any():
-        d = np.linalg.norm(c32[both] - c16[both], axis=-1)
-        moved = d > 0
-        frac_moved = float(moved.mean())
-        mean_shift = float(d[moved].mean()) if moved.any() else 0.0
-        max_shift = float(d.max())
-    else:
-        frac_moved = mean_shift = max_shift = 0.0
+    count_delta = int(np.abs(v32.sum(-1) - v16.sum(-1)).sum())
+    # top-k slots reorder under ulp-level score changes, so compare peak
+    # SETS per (image, joint): nearest-neighbor distance, both directions
+    nn = []
+    for b in range(v32.shape[0]):
+        for j in range(v32.shape[1]):
+            a = c32a[b, j][v32[b, j]]
+            c = c16a[b, j][v16[b, j]]
+            if len(a) == 0 and len(c) == 0:
+                continue
+            if len(a) == 0 or len(c) == 0:
+                nn.append(np.array([np.inf]))
+                continue
+            d = np.linalg.norm(a[:, None] - c[None, :], axis=-1)
+            nn.append(d.min(axis=1))
+            nn.append(d.min(axis=0))
+    nn = np.concatenate(nn) if nn else np.zeros(1)
+    moved = float((nn > 0).mean())
+    mean_shift = float(nn[nn > 0].mean()) if (nn > 0).any() else 0.0
+    max_shift = float(nn[np.isfinite(nn)].max()) if np.isfinite(nn).any() else 0.0
 
-    # --- boxes ------------------------------------------------------------
-    k32 = np.asarray(o32.detections.keep)
-    k16 = np.asarray(o16.detections.keep)
-    keep_delta = int(np.sum(k32.sum(1) != k16.sum(1)))
-    b32 = np.asarray(o32.detections.boxes, np.float32)
-    b16 = np.asarray(o16.detections.boxes, np.float32)
-    common = k32 & k16
-    box_shift = float(np.abs(b32[common] - b16[common]).max()) if common.any() else 0.0
-    s32 = np.asarray(o32.detections.scores, np.float32)
-    s16 = np.asarray(o16.detections.scores, np.float32)
-    score_shift = float(np.abs(s32[common] - s16[common]).max()) if common.any() else 0.0
+    # --- per-anchor scores and decoded boxes ------------------------------
+    s32 = np.max(np.asarray(c32, np.float32), axis=2)
+    s16 = np.max(np.asarray(c16, np.float32), axis=2)
+    ds = np.abs(s32 - s16)
+    anchors = jnp.asarray(anchors_for_shape(hw, cfg32.anchors))
+    b32 = np.asarray(clip_boxes(decode_boxes(anchors[None], jnp.asarray(r32)),
+                                *hw), np.float32)
+    b16 = np.asarray(clip_boxes(decode_boxes(anchors[None], jnp.asarray(r16)),
+                                *hw), np.float32)
+    db = np.abs(b32 - b16)
 
     print(f"backbone={args.backbone} size={args.size} images={args.images} "
           f"backend={jax.default_backend()}")
@@ -144,11 +181,13 @@ def main():
     print("|---|---|")
     print(f"| heatmap max abs diff | {hm_max:.2e} ({hm_max / max(rng_dyn, 1e-9):.2%} of dynamic range {rng_dyn:.3f}) |")
     print(f"| heatmap rms diff | {hm_rms:.2e} |")
-    print(f"| peak slots ({n_peaks} f32 peaks) membership changes | {membership_delta} |")
-    print(f"| peaks moved (of common) | {frac_moved:.1%} (mean {mean_shift:.2f}px, max {max_shift:.2f}px, stride-1 units) |")
-    print(f"| images with NMS keep-count change | {keep_delta}/{args.images} |")
-    print(f"| kept-box coord max shift | {box_shift:.3f}px |")
-    print(f"| kept-box score max shift | {score_shift:.2e} |")
+    print(f"| per-(image,joint) peak-count changes | {count_delta} over {n_peaks} f32 peaks |")
+    print(f"| peak set nn-distance | {moved:.1%} moved (mean {mean_shift:.2f}px, max {max_shift:.2f}px) |")
+    print(f"| per-anchor score drift | max {ds.max():.2e}, rms {np.sqrt(np.mean(ds**2)):.2e} |")
+    print(f"| per-anchor decoded box drift | max {db.max():.3f}px, rms {np.sqrt(np.mean(db**2)):.3f}px |")
+    print()
+    print(f"(a detection flips the 0.05/0.5 score thresholds only within "
+          f"+/-{ds.max():.1e} of them; box corners move <= {db.max():.2f}px)")
 
 
 if __name__ == "__main__":
