@@ -141,27 +141,37 @@ def main():
     v32, v16 = np.asarray(p32.valid), np.asarray(p16.valid)
     c32a = np.asarray(p32.coords, np.float32)
     c16a = np.asarray(p16.coords, np.float32)
+    s32p = np.asarray(p32.scores, np.float32)
     n_peaks = int(v32.sum())
-    count_delta = int(np.abs(v32.sum(-1) - v16.sum(-1)).sum())
-    # top-k slots reorder under ulp-level score changes, so compare peak
-    # SETS per (image, joint): nearest-neighbor distance, both directions
-    nn = []
-    for b in range(v32.shape[0]):
-        for j in range(v32.shape[1]):
-            a = c32a[b, j][v32[b, j]]
-            c = c16a[b, j][v16[b, j]]
-            if len(a) == 0 and len(c) == 0:
-                continue
-            if len(a) == 0 or len(c) == 0:
-                nn.append(np.array([np.inf]))
-                continue
-            d = np.linalg.norm(a[:, None] - c[None, :], axis=-1)
-            nn.append(d.min(axis=1))
-            nn.append(d.min(axis=0))
-    nn = np.concatenate(nn) if nn else np.zeros(1)
-    moved = float((nn > 0).mean())
-    mean_shift = float(nn[nn > 0].mean()) if (nn > 0).any() else 0.0
-    max_shift = float(nn[np.isfinite(nn)].max()) if np.isfinite(nn).any() else 0.0
+    thre1 = cfg32.peaks.thre1
+
+    def nn_stats(top_n):
+        """Top-`top_n` f32 peaks per (image, joint) -> nearest bf16 peak
+        distance.  Random-weight heatmaps carry ~1000 near-equal local
+        maxima per joint, so the CAPACITY-TRUNCATED full sets churn under
+        ulp jitter no matter the cap; the strongest few summits per joint
+        — the trained-model regime — are the meaningful stability probe."""
+        nn, total = [], 0
+        for b in range(v32.shape[0]):
+            for j in range(v32.shape[1]):
+                sel = np.where(v32[b, j])[0][:top_n]  # slots are score-sorted
+                a = c32a[b, j][sel]
+                total += len(a)
+                if len(a) == 0:
+                    continue
+                c = c16a[b, j][v16[b, j]]
+                if len(c) == 0:
+                    nn.append(np.full(len(a), np.inf))
+                    continue
+                nn.append(np.linalg.norm(
+                    a[:, None] - c[None, :], axis=-1).min(axis=1))
+        nn = np.concatenate(nn) if nn else np.zeros(0)
+        moved = float((nn > 0).mean()) if len(nn) else 0.0
+        mx = float(nn[np.isfinite(nn)].max()) if np.isfinite(nn).any() else 0.0
+        return total, moved, mx
+
+    n_all, moved_all, max_all = nn_stats(10 ** 9)
+    n_rob, moved_rob, max_rob = nn_stats(5)
 
     # --- per-anchor scores and decoded boxes ------------------------------
     s32 = np.max(np.asarray(c32, np.float32), axis=2)
@@ -181,8 +191,8 @@ def main():
     print("|---|---|")
     print(f"| heatmap max abs diff | {hm_max:.2e} ({hm_max / max(rng_dyn, 1e-9):.2%} of dynamic range {rng_dyn:.3f}) |")
     print(f"| heatmap rms diff | {hm_rms:.2e} |")
-    print(f"| per-(image,joint) peak-count changes | {count_delta} over {n_peaks} f32 peaks |")
-    print(f"| peak set nn-distance | {moved:.1%} moved (mean {mean_shift:.2f}px, max {max_shift:.2f}px) |")
+    print(f"| all {n_all} f32 peaks (capacity-truncated sea of ~equal maxima) | {moved_all:.1%} lack an exact bf16 twin (selection churn, not drift) |")
+    print(f"| top-5 summits per (image,joint) ({n_rob} peaks) | {moved_rob:.1%} moved (max {max_rob:.2f}px) |")
     print(f"| per-anchor score drift | max {ds.max():.2e}, rms {np.sqrt(np.mean(ds**2)):.2e} |")
     print(f"| per-anchor decoded box drift | max {db.max():.3f}px, rms {np.sqrt(np.mean(db**2)):.3f}px |")
     print()
