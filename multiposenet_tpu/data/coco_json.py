@@ -77,6 +77,7 @@ class COCOIndex:
     getAnnIds = lambda self, imgIds=None, catIds=(), **kw: self.get_ann_ids(imgIds, catIds)  # noqa: E731
     loadAnns = load_anns
     loadImgs = load_imgs
+    # loadRes alias is defined after load_res below
 
     def load_res(self, results: Union[str, List[Dict]]) -> "COCOIndex":
         """Build a result index sharing this gt's image table.
@@ -136,3 +137,5 @@ class COCOIndex:
             "categories": copy.deepcopy(self.dataset.get("categories", [])),
             "annotations": anns,
         })
+
+    loadRes = load_res

@@ -53,6 +53,7 @@ class EvalBundle:
         self.tester_mod = import_reference_tester()
         net_utils = import_reference_net_utils()
         self.net = build_reference_posenet(layers=50, seed=0)
+        self.thre1 = self._calibrate_hot(self.net)
         h5 = os.path.join(str(tmpdir), "ckpt_0.h5")
         net_utils.save_net(h5, self.net)
 
@@ -65,7 +66,7 @@ class EvalBundle:
 
         self.cfg = Config(
             model=ModelConfig(backbone="resnet50"),
-            peaks=PeakConfig(max_peaks_per_joint=8),
+            peaks=PeakConfig(max_peaks_per_joint=8, thre1=self.thre1),
             prn=PRNConfig(max_people=8),
             eval=EvalConfig(inp_size=128, device_resize=False,
                             device_peaks=False, device_image_resize=False),
@@ -77,6 +78,43 @@ class EvalBundle:
         # reference eval drivers do (multipose_coco_eval.py:13)
         self.ref = make_reference_tester(self.net, inp_size=128,
                                          subnet_name="both")
+
+    @staticmethod
+    def _calibrate_hot(net):
+        """Make the random oracle produce a WELL-POSED eval operating point.
+
+        Raw random weights emit heatmaps with ~0.007 range (no peak ever
+        clears any threshold) and classification logits with ~0.1 spread
+        (either every anchor or none clears the 0.05/0.5 filters) — every
+        protocol branch would be vacuous.  Rescale the two output convs so:
+        - heatmaps span ~[0, 0.62];
+        - ~2% of anchors clear the in-graph 0.05 filter and only a ~0.1%
+          tail clears the 0.5 test filter (a handful of person boxes);
+        and return a peak threshold at the heatmap's 99.93% quantile so
+        peak sets are sparse (capacities never truncate, near-tie
+        membership flips are unlikely).  Parity is unaffected — both
+        stacks load the SAME calibrated weights through the h5 converter.
+        """
+        with torch.no_grad():
+            g = torch.Generator().manual_seed(99)
+            x = torch.randn(1, 3, 128, 128, generator=g)
+            hm, _ = net.keypoint_forward(x)
+            k = 0.62 / float(hm.abs().max())
+            net.convfin.weight.mul_(k)
+            net.convfin.bias.mul_(k)
+            hm2, _ = net.keypoint_forward(x)
+            thre1 = float(torch.quantile(hm2.ravel(), 0.9993))
+
+            out_conv = net.classificationModel.output
+            out_conv.bias.zero_()
+            feats = net.fpn(x)[1]
+            cls = torch.cat([net.classificationModel(f) for f in feats], 1)
+            m = torch.logit(cls.clamp(1e-6, 1 - 1e-6)).max(dim=2)[0].ravel()
+            q98, q999 = torch.quantile(m, 0.98), torch.quantile(m, 0.999)
+            s = 2.9444 / float(q999 - q98)  # logit(0.5) - logit(0.05)
+            out_conv.weight.mul_(s)
+            out_conv.bias.fill_(-s * float(q999))  # q999 -> logit(0.5) = 0
+        return max(0.2, thre1)
 
 
 @pytest.fixture(scope="module")
@@ -199,6 +237,26 @@ def test_get_joint_list_matches_reference(bundle):
         np.testing.assert_allclose(ours, ref, atol=1e-6, err_msg=str(trial))
 
 
+def _make_classic_resize():
+    """cv2.resize wrapper: rewrite the default-interpolation fx/fy form to
+    the dsize form (restores the classic bilinear the 2018-era reference
+    produced; cv2 5.x's fx form dispatches a different IPP kernel — see
+    eval/multiscale.crop_with_factor's docstring).  Explicit-interpolation
+    calls (the INTER_CUBIC heatmap chain) pass through untouched."""
+    import cv2
+
+    orig_resize = cv2.resize
+
+    def classic_resize(src, dsize, *args, **kwargs):
+        if dsize is None and not args and "interpolation" not in kwargs:
+            fx, fy = kwargs.pop("fx"), kwargs.pop("fy")
+            h, w = src.shape[:2]
+            dsize = (round(w * fx), round(h * fy))
+        return orig_resize(src, dsize, *args, **kwargs)
+
+    return classic_resize
+
+
 # ---------------------------------------------------------------------------
 # flip fold + multi-scale geometry
 # ---------------------------------------------------------------------------
@@ -267,22 +325,13 @@ def test_multiscale_heat_average_matches_reference(bundle, monkeypatch):
     make those calls identically."""
     import cv2
 
-    orig_resize = cv2.resize
-
-    def classic_resize(src, dsize, *args, **kwargs):
-        if dsize is None and not args and "interpolation" not in kwargs:
-            fx, fy = kwargs.pop("fx"), kwargs.pop("fy")
-            h, w = src.shape[:2]
-            dsize = (round(w * fx), round(h * fy))
-        return orig_resize(src, dsize, *args, **kwargs)
-
     rng = np.random.RandomState(7)
     img = (rng.rand(100, 80, 3) * 255).astype(np.float32)
 
     with torch.no_grad():
         multiplier = bundle.ref._get_multiplier(img)
         with pytest.MonkeyPatch.context() as mp:
-            mp.setattr(cv2, "resize", classic_resize)
+            mp.setattr(cv2, "resize", _make_classic_resize())
             ref_heat, ref_boxes = bundle.ref._get_outputs(multiplier, img)
 
     our_heat, our_boxes, _, _ = bundle.evaluator._get_outputs(
@@ -293,3 +342,134 @@ def test_multiscale_heat_average_matches_reference(bundle, monkeypatch):
     err = float(np.abs(our_heat - ref_heat).max()) / scale
     assert err < 5e-3, f"normalized heat err {err:.2e}"
     assert [len(b) for b in our_boxes] == [len(b) for b in ref_boxes]
+
+
+# ---------------------------------------------------------------------------
+# THE full coco_eval protocol, reference Tester.coco_eval vs our Evaluator
+# ---------------------------------------------------------------------------
+
+def _make_synthetic_coco(root, rng, n_images=3, hw=(100, 80)):
+    """Tiny val2017-shaped dataset on disk (same size for every image so
+    each stack compiles one padded shape set)."""
+    import cv2
+    import json
+
+    img_dir = os.path.join(root, "images", "val2017")
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+    images, anns, aid = [], [], 1
+    h, w = hw
+    for i in range(1, n_images + 1):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        name = f"{i:012d}.jpg"
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        images.append({"id": i, "height": h, "width": w, "file_name": name})
+        for _ in range(2):
+            cx = float(rng.uniform(20, w - 20))
+            cy = float(rng.uniform(25, h - 25))
+            kps = []
+            for _j in range(17):
+                kps += [float(cx + rng.uniform(-8, 8)),
+                        float(cy + rng.uniform(-10, 10)), 2]
+            anns.append({"id": aid, "image_id": i, "category_id": 1,
+                         "iscrowd": 0, "num_keypoints": 17, "area": 1200.0,
+                         "bbox": [cx - 15, cy - 20, 30.0, 40.0],
+                         "keypoints": kps})
+            aid += 1
+    with open(os.path.join(ann_dir, "person_keypoints_val2017.json"), "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+
+
+def test_full_coco_eval_protocol_matches_reference(bundle, tmp_path):
+    """Run the reference's ENTIRE Tester.coco_eval (tester.py:130-193) —
+    multi-scale + flip forwards, heatmap averaging, peak finding, neck
+    drop, PRN grouping, COCO reorder, loadRes, OKS scoring — against our
+    Evaluator.coco_eval on the same oracle weights and images, and demand
+    result-level AND AP-table agreement.
+
+    pycocotools is absent, so the reference's COCO/COCOeval symbols are
+    bound to OUR COCOIndex (its pycocotools-compatible API incl. loadRes)
+    and an adapter over OUR KeypointEval — both sides therefore score
+    through one scorer and the AP comparison isolates the result lists.
+    The hard-coded thre1=0.1 (tester.py:157) is lifted to the bundle's
+    calibrated operating point on both sides."""
+    import cv2
+    import json
+    import types
+
+    from multiposenet_tpu.data.coco_json import COCOIndex
+    from multiposenet_tpu.eval.cocoeval import KeypointEval
+
+    rng = np.random.RandomState(21)
+    root = str(tmp_path / "coco")
+    _make_synthetic_coco(root, rng)
+
+    captured = {}
+
+    class _COCOevalAdapter:
+        def __init__(self, gt, dt, kind):
+            assert kind == "keypoints"
+            self.gt, self.dt = gt, dt
+            self.params = types.SimpleNamespace(imgIds=None)
+
+        def evaluate(self):
+            self.ev = KeypointEval(self.gt, self.dt,
+                                   img_ids=self.params.imgIds)
+
+        def accumulate(self):
+            captured["ref_metrics"] = self.ev.evaluate()
+
+        def summarize(self):
+            print(self.ev.summarize())
+
+    tester_mod = bundle.tester_mod
+    ref = make_reference_tester(
+        bundle.net, inp_size=128, subnet_name="both", coco_root=root,
+        coco_result_filename=str(tmp_path / "ref_results.json"),
+        testresult_write_json=True)
+
+    orig_gjl = tester_mod.get_joint_list
+    thre1 = bundle.thre1
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(tester_mod, "COCO", COCOIndex)
+        mp.setattr(tester_mod, "COCOeval", _COCOevalAdapter)
+        mp.setattr(tester_mod, "get_joint_list",
+                   lambda img, param, hm, scale: orig_gjl(
+                       img, dict(param, thre1=thre1), hm, scale))
+        mp.setattr(cv2, "resize", _make_classic_resize())
+        with torch.no_grad():
+            ref.coco_eval()
+
+    with open(tmp_path / "ref_results.json") as f:
+        ref_results = json.load(f)
+    assert ref_results, "oracle produced no results — recalibrate the bundle"
+    assert "ref_metrics" in captured
+
+    our_file = str(tmp_path / "our_results.json")
+    our_metrics = bundle.evaluator.coco_eval(
+        coco_root=root, result_file=our_file, bucket=32)
+    with open(our_file) as f:
+        our_results = json.load(f)
+
+    def by_img(res):
+        d = {}
+        for r in res:
+            d.setdefault(r["image_id"], []).append(r)
+        return d
+
+    R, O = by_img(ref_results), by_img(our_results)
+    assert set(R) == set(O)
+    for i in sorted(R):
+        assert len(R[i]) == len(O[i]), f"image {i}: {len(R[i])} vs {len(O[i])}"
+        for a, b in zip(R[i], O[i]):
+            np.testing.assert_allclose(b["bbox"], a["bbox"], atol=1e-2)
+            np.testing.assert_allclose(b["score"], a["score"], atol=1e-6)
+            ak = np.asarray(a["keypoints"], np.float64).reshape(17, 3)
+            bk = np.asarray(b["keypoints"], np.float64).reshape(17, 3)
+            np.testing.assert_array_equal(ak[:, 2], bk[:, 2])
+            np.testing.assert_allclose(bk, ak, atol=0.51)
+
+    for k, v in captured["ref_metrics"].items():
+        np.testing.assert_allclose(our_metrics[k], v, atol=1e-6, err_msg=k)
