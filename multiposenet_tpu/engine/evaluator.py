@@ -584,8 +584,12 @@ class Evaluator:
             img = cv2.imread(os.path.join(testdata_dir, name))
             if img is None:
                 continue
-            # uint8 end-to-end (the reference resizes the uint8 image and
-            # normalizes after, tester.py:203-209) — also 4x fewer H2D bytes
+            # uint8 end-to-end: deliberate deviation — the reference casts
+            # to float32 BEFORE its pad/resize (tester.py:202-208), so its
+            # resized pixels can differ from these by <=0.5 u8 LSB; staying
+            # uint8 ships 4x fewer H2D bytes and fuses the normalize into
+            # the first conv.  (No resize happens when the input is already
+            # square at inp_size — then the two paths are bit-identical.)
             results, heatmaps = self.run_image(img, name)
             all_results.extend(results)
             if cfg.write_image:

@@ -151,20 +151,25 @@ def _grouping_case(rng, n_people, joint_types, img_wh=(300.0, 300.0)):
     return rows, boxes
 
 
-def _compare_results(ref_results, our_results, tol=1e-4):
+def _compare_results(ref_results, our_results, bbox_atol=1e-6, kp_atol=1e-5):
+    """kp_atol applies to assigned (v=1) keypoints — exact when both sides
+    are fed identical peak lists; when each side finds peaks from its OWN
+    forward, sub-pixel refinement has a 1px granularity at stride 4 so a
+    near-tie in the upsampled patch argmax can shift a coordinate one
+    notch (pass kp_atol=1.01 for those paths)."""
     assert len(ref_results) == len(our_results)
     for r, o in zip(ref_results, our_results):
         assert r["image_id"] == o["image_id"]
         assert r["category_id"] == o["category_id"]
-        np.testing.assert_allclose(o["bbox"], r["bbox"], atol=1e-6)
+        np.testing.assert_allclose(o["bbox"], r["bbox"], atol=bbox_atol)
         np.testing.assert_allclose(o["score"], r["score"], atol=1e-6)
         rk = np.asarray(r["keypoints"], np.float64).reshape(17, 3)
         ok = np.asarray(o["keypoints"], np.float64).reshape(17, 3)
         np.testing.assert_array_equal(rk[:, 2], ok[:, 2])  # visibility
-        # v=1 entries are peak coords (must be identical); v=0 fallback
-        # entries come through the PRN argmax (tiny forward drift allowed)
+        # v=0 fallback entries come through the PRN argmax (tiny forward
+        # drift allowed)
         np.testing.assert_allclose(ok[rk[:, 2] == 1], rk[rk[:, 2] == 1],
-                                   atol=1e-5)
+                                   atol=kp_atol)
         np.testing.assert_allclose(ok[rk[:, 2] == 0], rk[rk[:, 2] == 0],
                                    atol=5e-2)
 
@@ -473,3 +478,78 @@ def test_full_coco_eval_protocol_matches_reference(bundle, tmp_path):
 
     for k, v in captured["ref_metrics"].items():
         np.testing.assert_allclose(our_metrics[k], v, atol=1e-6, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# single-scale demo path: reference Tester.test() vs our Evaluator
+# ---------------------------------------------------------------------------
+
+def test_demo_path_matches_reference(bundle, tmp_path):
+    """The reference's demo inference (tester.py:195-254: single-scale
+    forward, host peak finding, 0.5 box filter, prn_process) vs our
+    run_image (device peaks + fused pipeline) on the same oracle weights.
+
+    The input is square at inp_size so the reference's float32-resize vs
+    our uint8 path is bit-identical (documented deviation otherwise), and
+    an image seed is chosen whose peaks stay clear of the heatmap border
+    (peak-refine border handling is a documented deviation)."""
+    import cv2
+    import json
+
+    tester_mod = bundle.tester_mod
+    from network import joint_utils  # reference
+
+    # pick an image whose ORACLE-side peaks are all >=3 cells from the
+    # 32x32 heatmap border (border refine handling deviates by design)
+    img = None
+    for seed in range(31, 61):
+        cand = (np.random.RandomState(seed).rand(128, 128, 3) * 255
+                ).astype(np.uint8)
+        t = torch.from_numpy(
+            (nchw := np.ascontiguousarray(
+                cand[None, :, :, ::-1].astype(np.float32))).transpose(0, 3, 1, 2))
+        from datasets.coco_data.preprocessing import resnet_preprocess
+        inp = torch.from_numpy(
+            resnet_preprocess(cand.astype(np.float32))[None])
+        with torch.no_grad():
+            hm, _ = bundle.net.keypoint_forward(inp)
+        hm = hm[0].numpy().transpose(1, 2, 0)
+        ok = True
+        found_any = False
+        for j in range(18):
+            pk = joint_utils.find_peaks({"thre1": bundle.thre1}, hm[:, :, j])
+            for x, y in pk:
+                found_any = True
+                if not (3 <= x <= hm.shape[1] - 4 and 3 <= y <= hm.shape[0] - 4):
+                    ok = False
+        if ok and found_any:
+            img = cand
+            break
+    assert img is not None, "no border-free demo image found in 30 seeds"
+
+    data_dir = tmp_path / "demo_in"
+    out_dir = tmp_path / "demo_out"
+    data_dir.mkdir()
+    out_dir.mkdir()
+    cv2.imwrite(str(data_dir / "scene1.png"), img)  # lossless
+
+    ref = make_reference_tester(
+        bundle.net, inp_size=128, subnet_name="both",
+        testdata_dir=str(data_dir) + "/", testresult_dir=str(out_dir) + "/",
+        testresult_write_image=False, testresult_write_json=True)
+
+    orig_gjl = tester_mod.get_joint_list
+    thre1 = bundle.thre1
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(tester_mod, "get_joint_list",
+                   lambda im, param, hm, scale: orig_gjl(
+                       im, dict(param, thre1=thre1), hm, scale))
+        with torch.no_grad():
+            ref.test()
+
+    with open(out_dir / "multipose_results.json") as f:
+        ref_results = json.load(f)
+
+    our_results, _ = bundle.evaluator.run_image(img, "scene1.png")
+    assert ref_results, "oracle demo produced no people — retune calibration"
+    _compare_results(ref_results, our_results, bbox_atol=1e-3, kp_atol=1.01)
