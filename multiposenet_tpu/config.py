@@ -140,6 +140,9 @@ class TrainConfig:
     init_lr: float = 1e-4
     weight_decay: float = 0.0
     optimizer: str = "adam"
+    # grad clip by INFINITY norm, the reference's norm_type
+    # (trainer.py:255-256 passes float('inf')); None/inf = disabled (the
+    # reference default, trainer.py:54)
     max_grad_norm: Optional[float] = None
     # ReduceLROnPlateau(factor=lr_decay, patience) on val loss (drivers)
     lr_decay: float = 0.1

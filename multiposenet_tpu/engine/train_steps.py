@@ -107,14 +107,36 @@ def trainable_mask(params, subnet: str):
 # optimizer
 # ---------------------------------------------------------------------------
 
+def clip_by_global_inf_norm(max_norm: float) -> optax.GradientTransformation:
+    """Gradient clipping with the reference's exact semantics:
+    ``nn.utils.clip_grad_norm(parameters, max_norm, float('inf'))``
+    (trainer.py:255-256) — the total norm is the INFINITY norm (max abs
+    over all trainable grads) and every grad is scaled by
+    ``max_norm / (total_norm + 1e-6)`` when that is < 1."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        inf_norm = jax.tree.reduce(
+            jnp.maximum,
+            jax.tree.map(lambda g: jnp.max(jnp.abs(g)), updates))
+        coef = jnp.minimum(max_norm / (inf_norm + 1e-6), 1.0)
+        return jax.tree.map(lambda g: g * coef, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: Config, params, subnet: str) -> optax.GradientTransformation:
-    """Adam (torch defaults) with optional global-norm clip, masked to the
+    """Adam (torch defaults) with optional inf-norm clip, masked to the
     stage's trainable subset (frozen leaves carry no optimizer state, like
     the reference passing only trainable_vars to torch.optim.Adam)."""
     mask = trainable_mask(params, subnet)
     parts = []
     if cfg.train.max_grad_norm:
-        parts.append(optax.clip_by_global_norm(cfg.train.max_grad_norm))
+        parts.append(clip_by_global_inf_norm(cfg.train.max_grad_norm))
     if cfg.train.optimizer == "adam":
         parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
         if cfg.train.weight_decay:

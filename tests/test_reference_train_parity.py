@@ -1,0 +1,391 @@
+"""Differential parity of the TRAINING side against the reference.
+
+On the same oracle weights (tests/reference_oracle.py + h5 converter):
+
+  freeze masks  — every parameter's requires_grad under the reference
+                  drivers' named-children freeze loops
+                  (multipose_{keypoint,detection,prn}_train.py) vs our
+                  trainable_mask groups, name for name.
+  gradients     — d(loss)/d(params) of each stage's forward+loss vs torch
+                  autograd on the same batch.
+  optimizer     — our optax chain (inf-norm clip -> scale_by_adam -> -lr)
+                  vs torch.optim.Adam + nn.utils.clip_grad_norm(inf) over
+                  a multi-step trajectory on synthetic grads.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("h5py")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from reference_oracle import (  # noqa: E402
+    build_reference_posenet,
+    import_reference_net_utils,
+)
+
+from multiposenet_tpu.config import Config, ModelConfig  # noqa: E402
+from multiposenet_tpu.engine.train_steps import trainable_mask  # noqa: E402
+from multiposenet_tpu.models.posenet import PoseNet  # noqa: E402
+from multiposenet_tpu.ops.losses import (  # noqa: E402
+    detection_loss,
+    keypoint_loss,
+    prn_loss,
+)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_converter():
+    spec = importlib.util.spec_from_file_location(
+        "convert_torch_ckpt", os.path.join(REPO_ROOT, "tools",
+                                           "convert_torch_ckpt.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TrainBundle:
+    def __init__(self, tmpdir):
+        net_utils = import_reference_net_utils()
+        self.net = build_reference_posenet(layers=50, seed=3)
+        h5 = os.path.join(str(tmpdir), "ckpt_0.h5")
+        net_utils.save_net(h5, self.net)
+        self.conv = _load_converter()
+        params, batch_stats, _ = self.conv.convert(h5, backbone="resnet50")
+        self.cfg = Config(model=ModelConfig(backbone="resnet50"))
+        self.model = PoseNet(self.cfg.model)
+        self.params = params
+        self.batch_stats = batch_stats
+        import copy
+        self._sd0 = copy.deepcopy(self.net.state_dict())
+
+    def reset_net(self):
+        """Restore the exact h5-snapshot state AND requires_grad flags:
+        train-mode BN forwards mutate running stats and the freeze-mask
+        tests flip requires_grad, both of which would leak across tests."""
+        self.net.load_state_dict(self._sd0)
+        for p in self.net.parameters():
+            p.requires_grad_(True)
+        return self.net
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    return TrainBundle(tmp_path_factory.mktemp("ref_train"))
+
+
+# ---------------------------------------------------------------------------
+# stage freeze masks vs the reference drivers
+# ---------------------------------------------------------------------------
+
+# module-name lists from multipose_keypoint_train.py:32-40 (shared by all
+# three drivers)
+FPN_RESNET_PARA = ["conv1", "bn1", "layer1", "layer2", "layer3", "layer4"]
+FPN_RETINANET_PARA = ["conv6", "conv7", "latlayer1", "latlayer2",
+                      "latlayer3", "toplayer0", "toplayer1", "toplayer2"]
+FPN_KEYPOINT_PARA = ["toplayer", "flatlayer1", "flatlayer2", "flatlayer3",
+                     "smooth1", "smooth2", "smooth3"]
+RETINANET_PARA = ["regressionModel", "classificationModel"]
+KEYPOINT_PARA = ["convt1", "convt2", "convt3", "convt4", "convs1", "convs2",
+                 "convs3", "convs4", "upsample1", "upsample2", "upsample3",
+                 "conv2", "convfin", "convfin_k2", "convfin_k3", "convfin_k4",
+                 "convfin_k5"]
+PRN_PARA = ["prn"]
+
+
+def apply_reference_freeze(net, stage: str):
+    """The drivers' named-children requires_grad loops, verbatim semantics
+    (multipose_keypoint_train.py:77-89, multipose_detection_train.py:64-79,
+    multipose_prn_train.py:56-59)."""
+    for p in net.parameters():
+        p.requires_grad = True
+    if stage == "keypoint":
+        for name, module in net.fpn.named_children():
+            if name in FPN_RETINANET_PARA:
+                for p in module.parameters():
+                    p.requires_grad = False
+        for name, module in net.named_children():
+            if name in RETINANET_PARA + PRN_PARA:
+                for p in module.parameters():
+                    p.requires_grad = False
+    elif stage == "detection":
+        for name, module in net.fpn.named_children():
+            if name in FPN_RESNET_PARA + FPN_KEYPOINT_PARA:
+                for p in module.parameters():
+                    p.requires_grad = False
+        for name, module in net.named_children():
+            if name in KEYPOINT_PARA + PRN_PARA:
+                for p in module.parameters():
+                    p.requires_grad = False
+    elif stage == "prn":
+        for name, module in net.named_children():
+            if name not in PRN_PARA:
+                for p in module.parameters():
+                    p.requires_grad = False
+    else:
+        raise ValueError(stage)
+
+
+def _lookup(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+@pytest.mark.parametrize("stage", ["keypoint", "detection", "prn"])
+def test_freeze_masks_match_reference_drivers(bundle, stage):
+    """Every torch parameter's requires_grad under the reference's freeze
+    loops equals our trainable_mask at the converter-mapped path."""
+    apply_reference_freeze(bundle.net, stage)
+    mask = trainable_mask(bundle.params, stage)
+
+    checked = 0
+    for key, p in bundle.net.named_parameters():
+        mapped = bundle.conv.torch_key_to_paths(key)
+        assert mapped is not None, key
+        path, leaf = mapped
+        leaf = {"weight": None, "bias": "bias"}[leaf]
+        if leaf is None:  # conv/linear kernel or BN scale
+            node = _lookup(mask, path)
+            leaf = "kernel" if "kernel" in node else "scale"
+        ours = bool(_lookup(mask, path)[leaf])
+        assert ours == p.requires_grad, (
+            f"{stage}: {key} -> {path}+{leaf}: ours {ours}, "
+            f"reference {p.requires_grad}")
+        checked += 1
+    assert checked > 200  # resnet50 tree: every parameter was compared
+
+
+# ---------------------------------------------------------------------------
+# gradient parity per stage
+# ---------------------------------------------------------------------------
+
+def _torch_grads(net, loss):
+    net.zero_grad()
+    loss.backward()
+    return {k: (p.grad.detach().numpy().astype(np.float64).copy()
+                if p.grad is not None else None)
+            for k, p in net.named_parameters()}
+
+
+def _map_grad(bundle, key, g):
+    """torch grad array -> (our path, leaf, converter-transposed array)."""
+    path, leaf = bundle.conv.torch_key_to_paths(key)
+    if leaf == "weight":
+        if g.ndim == 4:
+            return path, "kernel", g.transpose(2, 3, 1, 0)
+        if g.ndim == 2:
+            return path, "kernel", g.T
+        return path, "scale", g
+    return path, leaf, g
+
+
+def _compare_grads(bundle, our_grads, g64, g32, k_factor=10.0, floor=2e-6,
+                   min_leaves=50):
+    """Our f32 gradients must be as close to the float64 truth as the
+    reference's OWN f32 autodiff: per leaf,
+
+        |ours - torch64|_max <= k * max(|torch32 - torch64|_max, floor*scale)
+
+    A plain relative tolerance is meaningless here — this random-init,
+    BN-train-mode network's deep-layer conv grads suffer massive f32
+    cancellation (torch's own f32 grads deviate up to ~0.25 relative from
+    its f64 grads at layer4 leaves), so accuracy is judged against the
+    reference's own float32 conditioning, not an absolute yardstick."""
+    worst = (0.0, "")
+    n = 0
+    for key, g in g64.items():
+        if g is None:
+            continue
+        path, leaf, g = _map_grad(bundle, key, g)
+        _, _, g32l = _map_grad(bundle, key, g32[key])
+        ours = np.asarray(_lookup(our_grads, path)[leaf], np.float64)
+        scale = max(float(np.abs(g).max()), 1e-12)
+        ref_err = max(float(np.abs(g32l - g).max()), floor * scale)
+        ratio = float(np.abs(ours - g).max()) / ref_err
+        if ratio > worst[0]:
+            worst = (ratio, key)
+        n += 1
+    assert n >= min_leaves, n
+    assert worst[0] < k_factor, (
+        f"grad err {worst[0]:.2f}x the reference's own f32 error at {worst[1]}")
+
+
+def test_keypoint_gradient_parity(bundle):
+    """d(5-term masked MSE)/d(params) with BN in TRAIN mode (the reference
+    trains BN in this stage, trainer.py:171-173)."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 96, 96, 3).astype(np.float32)
+    heat = rng.rand(2, 24, 24, 18).astype(np.float32)
+    hmask = (rng.rand(2, 24, 24, 18) > 0.2).astype(np.float32)
+
+    import network.posenet as ref_posenet
+
+    def ref_grads_at(bits):
+        net = bundle.reset_net()
+        net = net.double() if bits == 64 else net.float()
+        net.train()
+        cast = (lambda t: t.double()) if bits == 64 else (lambda t: t)
+        xt = cast(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        _, saved = net.keypoint_forward(xt)
+        loss, _ = ref_posenet.build_keypoint_loss(
+            saved,
+            cast(torch.from_numpy(np.ascontiguousarray(heat.transpose(0, 3, 1, 2)))),
+            cast(torch.from_numpy(np.ascontiguousarray(hmask.transpose(0, 3, 1, 2)))))
+        return _torch_grads(net, loss)
+
+    g64, g32 = ref_grads_at(64), ref_grads_at(32)
+
+    def lf(params):
+        (_, saved), _ = bundle.model.apply(
+            {"params": params, "batch_stats": bundle.batch_stats},
+            jnp.asarray(x), True, method=PoseNet.keypoint_forward,
+            mutable=["batch_stats"])
+        total, _ = keypoint_loss(saved, jnp.asarray(heat), jnp.asarray(hmask))
+        return total
+
+    # reduced default matmul/conv precision (bf16-like passes even for
+    # f32 on this backend) is fine in forwards but compounds through
+    # 50 layers of backprop — pin full precision for the comparison
+    with jax.default_matmul_precision("highest"):
+        our_grads = jax.jit(jax.grad(lf))(bundle.params)
+    _compare_grads(bundle, our_grads, g64, g32)
+
+
+def test_detection_gradient_parity(bundle):
+    """d(focal + smooth-L1)/d(params), BN frozen (freeze_bn outside the
+    keypoint stage, trainer.py:172-173)."""
+    from multiposenet_tpu.ops.anchors import anchors_for_shape
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 96, 96, 3).astype(np.float32)
+    anno = -np.ones((2, 3, 5), np.float32)
+    anno[0, 0] = [5.0, 8.0, 60.0, 80.0, 0.0]
+    anno[0, 1] = [40.0, 20.0, 90.0, 70.0, 0.0]
+    anno[1, 0] = [10.0, 10.0, 50.0, 90.0, 0.0]
+
+    import network.posenet as ref_posenet
+
+    def ref_grads_at(bits):
+        net = bundle.reset_net()
+        net = net.double() if bits == 64 else net.float()
+        net.train()
+        net.freeze_bn()
+        cast = (lambda t: t.double()) if bits == 64 else (lambda t: t)
+        xt = cast(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+        _, saved = net.detection_forward(xt)
+        loss, _ = ref_posenet.build_detection_loss(
+            saved, cast(torch.from_numpy(anno)))
+        return _torch_grads(net, loss)
+
+    g64, g32 = ref_grads_at(64), ref_grads_at(32)
+
+    anchors = jnp.asarray(anchors_for_shape((96, 96), bundle.cfg.anchors))
+
+    def lf(params):
+        cls, reg = bundle.model.apply(
+            {"params": params, "batch_stats": bundle.batch_stats},
+            jnp.asarray(x), False, method=PoseNet.detection_forward)
+        total, _ = detection_loss(cls, reg, anchors, jnp.asarray(anno))
+        return total
+
+    # reduced default matmul/conv precision (bf16-like passes even for
+    # f32 on this backend) is fine in forwards but compounds through
+    # 50 layers of backprop — pin full precision for the comparison
+    with jax.default_matmul_precision("highest"):
+        our_grads = jax.jit(jax.grad(lf))(bundle.params)
+    _compare_grads(bundle, our_grads, g64, g32)
+
+
+def test_prn_gradient_parity(bundle):
+    """d(BCE)/d(PRN params); dropout disabled on both sides so the graphs
+    are deterministic and comparable."""
+    rng = np.random.RandomState(2)
+    grid = rng.rand(4, 56, 36, 17).astype(np.float32)
+    label = (rng.rand(4, 56, 36, 17) * 0.8).astype(np.float32)
+
+    import network.posenet as ref_posenet
+
+    def ref_grads_at(bits):
+        net = bundle.reset_net()
+        net = net.double() if bits == 64 else net.float()
+        net.eval()  # dropout off; PRN has no BN
+        cast = (lambda t: t.double()) if bits == 64 else (lambda t: t)
+        _, saved = net.prn_forward(cast(torch.from_numpy(grid)))
+        loss, _ = ref_posenet.build_prn_loss(
+            saved, cast(torch.from_numpy(label)))
+        return _torch_grads(net, loss)
+
+    g64, g32 = ref_grads_at(64), ref_grads_at(32)
+
+    def lf(params):
+        out = bundle.model.apply(
+            {"params": params}, jnp.asarray(grid), False,
+            method=PoseNet.prn_forward)
+        total, _ = prn_loss(out, jnp.asarray(label))
+        return total
+
+    # reduced default matmul/conv precision (bf16-like passes even for
+    # f32 on this backend) is fine in forwards but compounds through
+    # 50 layers of backprop — pin full precision for the comparison
+    with jax.default_matmul_precision("highest"):
+        our_grads = jax.jit(jax.grad(lf))(bundle.params)
+    _compare_grads(bundle, our_grads, g64, g32, min_leaves=6)
+
+
+# ---------------------------------------------------------------------------
+# optimizer semantics vs torch.optim.Adam (+ inf-norm clip)
+# ---------------------------------------------------------------------------
+
+def test_adam_and_inf_clip_match_torch_trajectory():
+    """5-step trajectory on synthetic grads: our optax chain (inf-norm
+    clip -> scale_by_adam -> -lr scaling, engine/train_steps.py) must
+    track torch.optim.Adam + nn.utils.clip_grad_norm_(..., inf) exactly
+    (the reference's optimizer step, trainer.py:250-259)."""
+    import optax
+    from multiposenet_tpu.engine.train_steps import clip_by_global_inf_norm
+
+    rng = np.random.RandomState(7)
+    w0 = rng.randn(6, 4).astype(np.float32)
+    b0 = rng.randn(4).astype(np.float32)
+    grads_seq = [(rng.randn(6, 4).astype(np.float32) * 3.0,
+                  rng.randn(4).astype(np.float32) * 3.0) for _ in range(5)]
+    lr, max_norm = 1e-3, 1.5
+
+    # --- torch ---
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = torch.optim.Adam([tw, tb], lr=lr)
+    for gw, gb in grads_seq:
+        opt.zero_grad()
+        tw.grad = torch.from_numpy(gw.copy())
+        tb.grad = torch.from_numpy(gb.copy())
+        torch.nn.utils.clip_grad_norm_([tw, tb], max_norm,
+                                       norm_type=float("inf"))
+        opt.step()
+
+    # --- ours ---
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    tx = optax.chain(clip_by_global_inf_norm(max_norm),
+                     optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    state = tx.init(params)
+    for gw, gb in grads_seq:
+        updates, state = tx.update({"w": jnp.asarray(gw), "b": jnp.asarray(gb)},
+                                   state, params)
+        params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["b"]),
+                               tb.detach().numpy(), atol=1e-6)
