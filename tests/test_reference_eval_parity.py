@@ -553,3 +553,31 @@ def test_demo_path_matches_reference(bundle, tmp_path):
     our_results, _ = bundle.evaluator.run_image(img, "scene1.png")
     assert ref_results, "oracle demo produced no people — retune calibration"
     _compare_results(ref_results, our_results, bbox_atol=1e-3, kp_atol=1.01)
+
+
+# ---------------------------------------------------------------------------
+# demo renderer: reference joint_utils.draw/plot_result vs eval/render
+# ---------------------------------------------------------------------------
+
+def test_render_matches_reference_pixel_exact(bundle):
+    """draw/plot_result (joint_utils.py:155-202) vs our renderer: identical
+    cv2 primitives on identical inputs -> byte-identical canvases."""
+    from network import joint_utils  # reference
+    from multiposenet_tpu.eval.render import plot_results
+
+    rng = np.random.RandomState(9)
+    img = (rng.rand(160, 200, 3) * 255).astype(np.uint8)
+    results = []
+    for p in range(3):
+        kps = []
+        cx, cy = rng.uniform(40, 160), rng.uniform(40, 120)
+        for j in range(17):
+            v = float(rng.rand() > 0.3)
+            kps += [float(cx + rng.uniform(-25, 25)),
+                    float(cy + rng.uniform(-30, 30)), v]
+        results.append({"bbox": [float(cx - 30), float(cy - 35), 60.0, 70.0],
+                        "keypoints": kps})
+
+    ref_canvas = joint_utils.plot_result(img.copy(), results)
+    our_canvas = plot_results(img.copy(), results)
+    np.testing.assert_array_equal(our_canvas, ref_canvas)
