@@ -191,9 +191,21 @@ def main():
             coco[split]["annotations"].append(person_ann(kp, i, ann_id))
             ann_id += 1
 
-        # one keypoint record per person (CMU preprocessing convention)
+        # one keypoint record per person (CMU preprocessing convention).
+        # NOTE visibility flips convention here: the CMU COCO.json encodes
+        # 1 = labeled+visible, 0 = labeled+occluded, 2 = NOT labeled
+        # (reference COCO_data_pipeline.py:137-151 treats v==2 as missing;
+        # heatmap targets draw iff v <= 1), while the standard COCO
+        # annotations above keep 2 = visible, 1 = occluded, 0 = unlabeled.
+        def to_cmu(kp):
+            out = kp.copy()
+            out[:, 2] = np.where(kp[:, 2] == 2.0, 1.0,
+                                 np.where(kp[:, 2] == 1.0, 0.0, 2.0))
+            return out
+
         for pi, (kp, H) in enumerate(people):
-            others = [people[q][0] for q in range(len(people)) if q != pi]
+            others = [to_cmu(people[q][0])
+                      for q in range(len(people)) if q != pi]
             xy = kp[:, :2]
             center = (xy.min(axis=0) + xy.max(axis=0)) / 2.0
             records.append({
@@ -204,7 +216,7 @@ def main():
                 "image_id": i,
                 "objpos": [float(center[0]), float(center[1])],
                 "scale_provided": float(H / 368.0),
-                "joint_self": kp.tolist(),
+                "joint_self": to_cmu(kp).tolist(),
                 "joint_others": [o.tolist() for o in others],
                 "numOtherPeople": float(len(others)),
             })
