@@ -1,0 +1,131 @@
+"""On-disk contract of tools/make_synth_pose_dataset.py.
+
+The generator feeds all three training stages and coco-eval through the
+exact layouts the CLI consumes.  The load-bearing pin here is the CMU
+COCO.json visibility convention — in those records v=2 means NOT labeled
+(reference COCO_data_pipeline.py:137-151: heatmap gaussians draw iff
+v <= 1) while the standard COCO annotation jsons keep v=2 = visible.  A
+convention mixup silently yields all-empty heatmap targets and a model
+that "trains" to predict zeros; test_keypoint_targets_have_peaks fails
+loudly in that case.
+"""
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthcoco"))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "make_synth_pose_dataset.py"),
+         "--root", root, "--n-train", "4", "--n-val", "2",
+         "--width", "320", "--height", "256", "--seed", "3"],
+        check=True, env=env, capture_output=True)
+    return root
+
+
+def _data_cfg(root):
+    from multiposenet_tpu.config import DataConfig
+    return dataclasses.replace(
+        DataConfig(), coco_root=root,
+        json_path=os.path.join(root, "COCO.json"),
+        mask_dir=root,
+        inp_size=256, num_workers=0)
+
+
+def test_records_use_cmu_visibility(synth_root):
+    with open(os.path.join(synth_root, "COCO.json")) as f:
+        records = json.load(f)["root"]
+    assert len(records) >= 6
+    for rec in records:
+        js = np.asarray(rec["joint_self"], np.float32)
+        assert js.shape == (17, 3)
+        # most joints must be labeled (v<=1) under the CMU convention;
+        # an inverted writer marks nearly all of them v=2 (missing)
+        assert (js[:, 2] <= 1.0).sum() >= 8, rec["img_paths"]
+
+
+def test_keypoint_targets_have_peaks(synth_root):
+    from multiposenet_tpu.data.datasets import (
+        KeypointDataset, load_coco_json_index, split_keypoint_records)
+    from multiposenet_tpu.ops.heatmap import make_heatmaps_np
+
+    cfg = _data_cfg(synth_root)
+    records = load_coco_json_index(cfg.json_path)
+    idx = split_keypoint_records(records, True)
+    assert idx, "no training records"
+    ds = KeypointDataset(records, idx,
+                         os.path.join(synth_root, "images"),
+                         cfg.mask_dir, cfg, augment=False)
+    s = ds[0]
+    jp = s["joints"]
+    assert (jp[..., 2] <= 1.0).sum() >= 5, "no drawable joints after crop"
+    heat = make_heatmaps_np(jp, 256 // 4, 256 // 4, stride=4, sigma=7.0)
+    assert heat.max() > 0.9, "heatmap targets are empty (visibility bug?)"
+    assert float(s["mask"].min()) > 0.99, "synthetic miss-mask must be all-valid"
+
+
+def test_detection_dataset_yields_boxes(synth_root):
+    from multiposenet_tpu.data.coco_json import COCOIndex
+    from multiposenet_tpu.data.datasets import (
+        DetectionDataset, load_coco_json_index)
+
+    cfg = _data_cfg(synth_root)
+    ann = os.path.join(synth_root, "annotations",
+                       "person_keypoints_train2017.json")
+    coco = COCOIndex(ann)
+    records = load_coco_json_index(cfg.json_path)
+    img_ids = set(coco.get_img_ids())
+    idx = [i for i, r in enumerate(records)
+           if int(r["image_id"]) in img_ids]
+    ds = DetectionDataset(records, idx, coco,
+                          os.path.join(synth_root, "train2017"),
+                          cfg, augment=False)
+    assert len(ds) > 0
+    s = ds[0]
+    boxes = s["boxes"]
+    real = boxes[boxes[:, 4] == 0]
+    assert len(real) >= 1
+    assert ((real[:, 2] - real[:, 0]) > 0).all()
+    assert ((real[:, 3] - real[:, 1]) > 0).all()
+
+
+def test_prn_dataset_marks(synth_root):
+    from multiposenet_tpu.config import Config
+    from multiposenet_tpu.data.coco_json import COCOIndex
+
+    from multiposenet_tpu.data.datasets import PRNDataset
+    ann = os.path.join(synth_root, "annotations",
+                       "person_keypoints_train2017.json")
+    ds = PRNDataset(COCOIndex(ann), Config())
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["label_marks"].max() == 1.0
+    # weights cover the labeled person's own joints at minimum
+    assert s["weights_marks"].sum() >= s["label_marks"].sum()
+
+
+def test_eval_layout(synth_root):
+    from multiposenet_tpu.data.coco_json import COCOIndex
+    ann = os.path.join(synth_root, "annotations",
+                       "person_keypoints_val2017.json")
+    coco = COCOIndex(ann)
+    ids = coco.get_img_ids()
+    assert len(ids) == 2
+    for info in coco.load_imgs(ids):
+        p = os.path.join(synth_root, "images", "val2017", info["file_name"])
+        assert os.path.exists(p), p
+    for a in coco.load_anns(coco.get_ann_ids(ids[0])):
+        assert len(a["keypoints"]) == 17 * 3
+        assert a["area"] > 0

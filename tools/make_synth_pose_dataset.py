@@ -68,7 +68,8 @@ CANON = {
 
 def sample_person(rng, w, h):
     """Random plausible figure fully inside the frame: (17,3) float array."""
-    H = rng.uniform(150, 360)
+    h_max = min(360.0, h - 24.0)          # body height ~= vertical span
+    H = rng.uniform(min(150.0, 0.6 * h_max), h_max)
     theta = np.deg2rad(rng.uniform(-15, 15))
     c, s = np.cos(theta), np.sin(theta)
     pts = np.array([CANON[n] for n in KEYPOINT_NAMES], np.float64) * H
@@ -165,8 +166,11 @@ def main():
             p = sample_person(rng, w, h)
             if p is not None:
                 people.append(p)
-        if not people:
-            people.append(sample_person(np.random.default_rng(args.seed + i), w, h))
+        retry = np.random.default_rng(args.seed + i)
+        while not people:
+            p = sample_person(retry, w, h)
+            if p is not None:
+                people.append(p)
         for kp, H in people:
             draw_person(img, kp, H, rng)
 
