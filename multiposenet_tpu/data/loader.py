@@ -136,22 +136,25 @@ def device_prefetch(iterator, put_fn: Callable, depth: int = 2):
     stop = threading.Event()
     _END = object()
 
+    def _put(item) -> bool:
+        """Stop-aware put: never blocks past consumer abandonment."""
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def pump():
         try:
             for batch in iterator:
-                item = (None, put_fn(batch))
-                while not stop.is_set():
-                    try:
-                        out_q.put(item, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not _put((None, put_fn(batch))):
                     return
         except BaseException as e:  # propagate into the consumer
-            out_q.put((e, None))
+            _put((e, None))
             return
-        out_q.put((None, _END))
+        _put((None, _END))
 
     th = threading.Thread(target=pump, daemon=True, name="device_prefetch")
     th.start()

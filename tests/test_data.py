@@ -237,6 +237,22 @@ def test_device_prefetch_order_exceptions_and_early_exit():
         time.sleep(0.05)
     assert threading.active_count() <= before
 
+    # ... including when the SOURCE RAISES against a full queue after the
+    # consumer left: the error put must honor the stop event too
+    def short_then_raise():
+        for i in range(3):
+            yield i
+        raise RuntimeError("late")
+    g = device_prefetch(short_then_raise(), lambda x: x, depth=1)
+    assert next(g) == 0
+    g.close()
+    deadline = time.time() + 5.0
+    while (any(t.name == "device_prefetch" for t in threading.enumerate())
+           and time.time() < deadline):
+        time.sleep(0.05)
+    assert not any(t.name == "device_prefetch"
+                   for t in threading.enumerate())
+
 
 def test_loader_copy_same_settings():
     from multiposenet_tpu.data.loader import Loader

@@ -12,7 +12,7 @@ assembly + batch stacking) for several worker counts.
 
 Usage:
   python tools/bench_loader.py [--images 96] [--batch 16] [--epochs 3]
-                               [--workers 1,2,4,8,16] [--mode thread|process]
+                               [--workers 1,2,4,8,16]
 """
 
 from __future__ import annotations
@@ -91,6 +91,9 @@ def measure(loader: Loader, epochs: int) -> float:
                 t0 = time.perf_counter()  # start after the first batch lands
                 continue
             n += batch["image"].shape[0]
+    if t0 is None or n == 0:
+        sys.exit("error: need at least 2 batches to measure; increase "
+                 "--images (drop_last trims partial batches) or --epochs")
     return n / (time.perf_counter() - t0)
 
 
