@@ -149,9 +149,9 @@ def _load_eval(args, subnet="keypoint"):
                   jnp.float32),
         method=PoseNet.init_all)
     if args.ckpt:
-        params, _ = ckpt_lib.restore_params_partial(args.ckpt,
-                                                    variables["params"])
-        variables = dict(variables, params=params)
+        # full model state: params AND BN running stats (reference load_net
+        # restores the whole state_dict, net_utils.py:69-110)
+        variables, _ = ckpt_lib.restore_variables_partial(args.ckpt, variables)
     return cfg, Evaluator(cfg, model, variables)
 
 

@@ -116,18 +116,24 @@ def restore_checkpoint(path: str, state_template):
     return ckptr.restore(os.path.abspath(path), target=jax.device_get(state_template))
 
 
-def restore_params_partial(path: str, params_template) -> Tuple[Any, Dict[str, int]]:
-    """Load only matching param leaves from a checkpoint of any stage.
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict:
+    tree: Dict = {}
+    for path_k, v in flat.items():
+        d = tree
+        for p in path_k[:-1]:
+            d = d.setdefault(p, {})
+        d[path_k[-1]] = v
+    return tree
 
-    Mirrors net_utils.load_net tolerance: missing keys keep the template
-    value, shape mismatches are skipped with a warning.  Returns (params,
-    stats dict).
+
+def _merge_partial(src_tree, dst_template) -> Tuple[Any, Dict[str, int]]:
+    """Copy leaves of src_tree into the template where path+shape match.
+
+    Mirrors net_utils.load_net tolerance (net_utils.py:69-110): missing keys
+    keep the template value, shape mismatches are skipped with a warning.
     """
-    with ocp.PyTreeCheckpointer() as ckptr:
-        raw = ckptr.restore(os.path.abspath(path))
-    src = raw.get("params", raw)
-    flat_src = _flatten(src)
-    flat_dst = _flatten(jax.device_get(params_template))
+    flat_src = _flatten(src_tree)
+    flat_dst = _flatten(jax.device_get(dst_template))
 
     loaded = skipped = missing = 0
     out = {}
@@ -143,19 +149,73 @@ def restore_params_partial(path: str, params_template) -> Tuple[Any, Dict[str, i
             else:
                 missing += 1
             out[k] = v
-
-    def unflatten(flat):
-        tree: Dict = {}
-        for path_k, v in flat.items():
-            d = tree
-            for p in path_k[:-1]:
-                d = d.setdefault(p, {})
-            d[path_k[-1]] = v
-        return tree
-
     stats = {"loaded": loaded, "shape_skipped": skipped, "missing": missing}
+    return _unflatten(out), stats
+
+
+def _restore_raw(path: str):
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
+def restore_params_partial(path: str, params_template) -> Tuple[Any, Dict[str, int]]:
+    """Load only matching param leaves from a checkpoint of any stage.
+
+    Returns (params, stats dict).  NOTE: params only — callers that also
+    hold BN running statistics must use restore_variables_partial /
+    restore_model_state_partial, or the trained batch_stats silently revert
+    to their (mean 0, var 1) init.
+    """
+    raw = _restore_raw(path)
+    out, stats = _merge_partial(raw.get("params", raw), params_template)
     logger.info("partial restore from %s: %s", path, stats)
-    return unflatten(out), stats
+    return out, stats
+
+
+def restore_model_state_partial(path: str, params_template,
+                                batch_stats_template
+                                ) -> Tuple[Any, Any, Dict[str, int]]:
+    """Partial-load the full model state: params AND BN running stats.
+
+    The reference's load_net restores the whole state_dict — weights and
+    BatchNorm running_mean/running_var together (net_utils.py:69-110), and
+    every staged-training driver and the Tester go through it.  Accepts
+    both TrainState checkpoints ({'params','batch_stats',...}) and
+    converted reference checkpoints (tools/convert_torch_ckpt.py writes
+    {'params','batch_stats'}).  A checkpoint with no batch_stats at all
+    (foreign/legacy) keeps the template stats with a loud warning.
+    Returns (params, batch_stats, combined stats dict).
+    """
+    raw = _restore_raw(path)
+    params, p_stats = _merge_partial(raw.get("params", raw), params_template)
+    src_bs = raw.get("batch_stats")
+    if src_bs:
+        batch_stats, b_stats = _merge_partial(src_bs, batch_stats_template)
+    else:
+        batch_stats = jax.device_get(batch_stats_template)
+        n = len(_flatten(batch_stats))
+        b_stats = {"loaded": 0, "shape_skipped": 0, "missing": n}
+        if n:
+            logger.warning(
+                "checkpoint %s carries no batch_stats — BN running "
+                "statistics keep their init values (mean 0, var 1)", path)
+    stats = {k: p_stats[k] + b_stats[k] for k in p_stats}
+    stats["bn_loaded"] = b_stats["loaded"]
+    logger.info("partial model-state restore from %s: %s", path, stats)
+    return params, batch_stats, stats
+
+
+def restore_variables_partial(path: str, variables_template
+                              ) -> Tuple[Dict, Dict[str, int]]:
+    """restore_model_state_partial over a Flax variables dict
+    ({'params': ..., 'batch_stats': ...})."""
+    params, batch_stats, stats = restore_model_state_partial(
+        path, variables_template["params"],
+        variables_template.get("batch_stats", {}))
+    out = dict(variables_template, params=params)
+    if "batch_stats" in variables_template:
+        out["batch_stats"] = batch_stats
+    return out, stats
 
 
 def copy_best(ckpt_path: str, val_loss: float) -> str:

@@ -102,11 +102,16 @@ class Trainer:
             self.model, cfg, jax.random.PRNGKey(cfg.train.seed),
             (size, size), self.subnet)
 
-        # staged init: partial params from another stage's ckpt
+        # staged init: partial params + BN running stats from another
+        # stage's ckpt (the reference's load_net carries running_mean/var
+        # in the state_dict, net_utils.py:69-110 — critical here because
+        # the detection/PRN stages freeze BN and run on running stats)
         if init_ckpt_params:
-            params, _ = ckpt_lib.restore_params_partial(
-                init_ckpt_params, self.state.params)
-            self.state = self.state.replace(params=jax.tree.map(jnp.asarray, params))
+            params, batch_stats, _ = ckpt_lib.restore_model_state_partial(
+                init_ckpt_params, self.state.params, self.state.batch_stats)
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, params),
+                batch_stats=jax.tree.map(jnp.asarray, batch_stats))
 
         # resume (reference trainer.py:152-168)
         resume = cfg.train.ckpt
@@ -114,12 +119,11 @@ class Trainer:
             resume = ckpt_lib.latest_checkpoint(self.save_dir)
         if resume and os.path.isdir(resume):
             if cfg.train.ignore_opt_state:
-                params, _ = ckpt_lib.restore_params_partial(
-                    os.path.join(resume, "params")
-                    if os.path.isdir(os.path.join(resume, "params")) else resume,
-                    self.state.params)
+                params, batch_stats, _ = ckpt_lib.restore_model_state_partial(
+                    resume, self.state.params, self.state.batch_stats)
                 self.state = self.state.replace(
-                    params=jax.tree.map(jnp.asarray, params))
+                    params=jax.tree.map(jnp.asarray, params),
+                    batch_stats=jax.tree.map(jnp.asarray, batch_stats))
             else:
                 self.state = ckpt_lib.restore_checkpoint(resume, self.state)
                 if not cfg.train.zero_epoch:

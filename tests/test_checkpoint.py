@@ -84,6 +84,57 @@ def test_partial_restore_tolerates_mismatch(tmp_path):
     np.testing.assert_array_equal(out["c"]["new"], template["c"]["new"])
 
 
+def test_model_state_partial_restores_batch_stats(tmp_path):
+    """Eval/staged-init loads must carry BN running stats: the reference's
+    load_net restores the full state_dict incl. running_mean/var
+    (net_utils.py:69-110).  Regression for the round-2 synthetic E2E bug
+    where eval ran the backbone on init (mean 0, var 1) stats."""
+    d = str(tmp_path / "ckpts")
+    state = {
+        "params": {"a": {"kernel": np.ones((2, 3), np.float32)}},
+        "batch_stats": {"bn": {"mean": np.full((4,), 2.5, np.float32),
+                               "var": np.full((4,), 0.3, np.float32)}},
+        "opt_state": {"count": np.asarray(3)},
+        "step": np.asarray(11),
+    }
+    ckpt_lib.save_checkpoint(d, state, epoch=1)
+    path = os.path.join(d, "ckpt_1")
+
+    template = {"params": {"a": {"kernel": np.zeros((2, 3), np.float32)}},
+                "batch_stats": {"bn": {"mean": np.zeros((4,), np.float32),
+                                       "var": np.ones((4,), np.float32)}}}
+    out, stats = ckpt_lib.restore_variables_partial(path, template)
+    np.testing.assert_array_equal(out["params"]["a"]["kernel"],
+                                  state["params"]["a"]["kernel"])
+    np.testing.assert_array_equal(out["batch_stats"]["bn"]["mean"],
+                                  state["batch_stats"]["bn"]["mean"])
+    np.testing.assert_array_equal(out["batch_stats"]["bn"]["var"],
+                                  state["batch_stats"]["bn"]["var"])
+    assert stats["bn_loaded"] == 2
+
+    # three-way variant used by the Trainer
+    params, bs, st3 = ckpt_lib.restore_model_state_partial(
+        path, template["params"], template["batch_stats"])
+    np.testing.assert_array_equal(bs["bn"]["var"],
+                                  state["batch_stats"]["bn"]["var"])
+    assert st3["bn_loaded"] == 2
+
+
+def test_model_state_partial_without_batch_stats_keeps_template(tmp_path):
+    """A checkpoint with no batch_stats (foreign/legacy) keeps init stats
+    instead of crashing, and reports bn_loaded == 0."""
+    d = str(tmp_path / "ckpts")
+    ckpt_lib.save_checkpoint(
+        d, {"params": {"a": {"kernel": np.ones((2,), np.float32)}}}, epoch=1)
+    template_bs = {"bn": {"mean": np.full((3,), 7.0, np.float32)}}
+    params, bs, stats = ckpt_lib.restore_model_state_partial(
+        os.path.join(d, "ckpt_1"),
+        {"a": {"kernel": np.zeros((2,), np.float32)}}, template_bs)
+    np.testing.assert_array_equal(params["a"]["kernel"], np.ones(2))
+    np.testing.assert_array_equal(bs["bn"]["mean"], template_bs["bn"]["mean"])
+    assert stats["bn_loaded"] == 0
+
+
 def test_best_copy(tmp_path):
     d = str(tmp_path / "ckpts")
     p = ckpt_lib.save_checkpoint(d, _tree(), epoch=2)

@@ -129,6 +129,9 @@ def test_three_stage_chain_partial_init_and_freeze(tmp_path):
     ck1 = ckpt_lib.latest_checkpoint(os.path.join(str(tmp_path), "s1"))
     assert ck1
     p1 = flat(t1.state.params)
+    bs1 = flat(t1.state.batch_stats)
+    # keypoint training ran BN in train mode — running stats moved off init
+    assert any(np.abs(v).max() > 0 for k, v in bs1.items() if k[-1] == "mean")
 
     # stage 2: detection from the stage-1 checkpoint
     t2 = Trainer(stage_cfg("detection", "s2"),
@@ -138,8 +141,17 @@ def test_three_stage_chain_partial_init_and_freeze(tmp_path):
     p2_init = flat(t2.state.params)
     for k in p1:   # partial init carries the FULL stage-1 tree
         np.testing.assert_array_equal(p2_init[k], p1[k], err_msg=str(k))
+    # ... INCLUDING BN running stats: detection runs the backbone frozen on
+    # running averages, so stage-1's stats are the features it sees
+    # (reference load_net carries running_mean/var, net_utils.py:69-110)
+    bs2_init = flat(t2.state.batch_stats)
+    for k in bs1:
+        np.testing.assert_array_equal(bs2_init[k], bs1[k], err_msg=str(k))
     t2.train()
     p2 = flat(t2.state.params)
+    bs2 = flat(t2.state.batch_stats)
+    for k in bs1:  # BN frozen in the detection stage: stats bit-unchanged
+        np.testing.assert_array_equal(bs2[k], bs1[k], err_msg=str(k))
     changed = {param_group(k) for k in p1
                if not np.array_equal(p2[k], p1[k])}
     assert changed <= {"fpn_retina", "retinanet"}, changed

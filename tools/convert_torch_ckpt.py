@@ -6,7 +6,7 @@ The reference saves torch state_dict entries as HDF5 datasets, one per key
 This converter maps those names onto the Flax module tree defined in
 multiposenet_tpu/models/* and transposes conv (OIHW -> HWIO) and linear
 (out,in -> in,out) weights.  Output is an orbax checkpoint loadable with
-engine.checkpoint.restore_params_partial, enabling AP-parity evaluation of
+engine.checkpoint.restore_variables_partial, enabling AP-parity evaluation of
 the published baseline (README.md:38-51) without any torch dependency.
 
 Usage:
