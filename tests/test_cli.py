@@ -122,3 +122,39 @@ def test_build_config_bf16_flag(coco_tree):
     assert build_config(a, "keypoint").model.compute_dtype == jnp.float32
     a.bf16 = True
     assert build_config(a, "keypoint").model.compute_dtype == jnp.bfloat16
+
+
+def test_load_eval_carries_batch_stats(coco_tree, tmp_path):
+    """_load_eval must restore BN running stats, not only params — the
+    reference's Tester loads the full state_dict via load_net
+    (net_utils.py:69-110).  Regression for the round-2 bug where CLI evals
+    ran the backbone on init (mean 0, var 1) stats and produced zero
+    detections."""
+    import jax
+    from multiposenet_tpu import cli
+    from multiposenet_tpu.config import ModelConfig
+    from multiposenet_tpu.engine import checkpoint as ckpt_lib
+    from multiposenet_tpu.models.posenet import PoseNet
+    import jax.numpy as jnp
+
+    model = PoseNet(ModelConfig(backbone="resnet50"))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3), jnp.float32),
+        jnp.zeros((1, 56, 36, 17), jnp.float32), method=PoseNet.init_all)
+    # fabricate "trained" running stats distinguishable from init
+    trained_bs = jax.tree.map(lambda v: np.asarray(v) + 1.25,
+                              jax.device_get(variables["batch_stats"]))
+    ckpt_lib.save_checkpoint(
+        str(tmp_path / "ck"),
+        {"params": jax.device_get(variables["params"]),
+         "batch_stats": trained_bs, "step": np.asarray(5)}, epoch=1)
+
+    a = Args()
+    a.coco_root = coco_tree
+    a.ckpt = str(tmp_path / "ck" / "ckpt_1")
+    _, ev = cli._load_eval(a, subnet="keypoint")
+    got = jax.device_get(ev.params["batch_stats"])
+    flat_got, flat_want = jax.tree.leaves(got), jax.tree.leaves(trained_bs)
+    assert len(flat_got) == len(flat_want) > 0
+    for g, w in zip(flat_got, flat_want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
