@@ -36,7 +36,19 @@ REFERENCE_IMAGES_PER_SEC = 5.93
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the full pipeline takes ~5 min to compile
+    # cold through the remote helper; warm runs start in seconds
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from multiposenet_tpu.config import Config

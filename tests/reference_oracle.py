@@ -27,12 +27,25 @@ differential parity of the converter + Flax model (test_reference_parity.py).
 
 from __future__ import annotations
 
+import os
 import sys
 import types
 
 import numpy as np
 
 REFERENCE_ROOT = "/root/reference"
+
+# Seed-offset fuzz knob: MPN_ORACLE_SEED=k shifts EVERY oracle seed (model
+# init and all test inputs) by k*1000, re-running the whole differential
+# harness on fresh weights + data.  Default 0 = the pinned CI seeds.
+# Sweep with tools/fuzz_reference_parity.sh.
+SEED_OFFSET = int(os.environ.get("MPN_ORACLE_SEED", "0")) * 1000
+
+
+def oracle_rng(seed: int) -> np.random.RandomState:
+    """RandomState for oracle test inputs, shifted by MPN_ORACLE_SEED."""
+    return np.random.RandomState(seed + SEED_OFFSET)
+
 
 _cache: dict = {}
 
@@ -198,6 +211,7 @@ def build_reference_posenet(layers: int = 50, seed: int = 0):
     import torch
 
     posenet = import_reference()
+    seed = seed + SEED_OFFSET
     g = torch.Generator().manual_seed(seed)
     # poseNet.__init__ draws conv weights from the GLOBAL torch RNG
     # (posenet.py:213-218) — seed it so the oracle is deterministic.

@@ -37,6 +37,7 @@ from reference_oracle import (  # noqa: E402
     build_reference_posenet,
     import_reference,
     import_reference_net_utils,
+    oracle_rng,
 )
 
 from multiposenet_tpu.config import (  # noqa: E402
@@ -114,7 +115,7 @@ SHAPES = [(160, 160), (128, 192)]
 
 @pytest.mark.parametrize("hw", SHAPES, ids=lambda s: f"{s[0]}x{s[1]}")
 def test_keypoint_forward_parity(bundle, hw):
-    rng = np.random.RandomState(1)
+    rng = oracle_rng(1)
     x = rng.randn(1, hw[0], hw[1], 3).astype(np.float32)
 
     with torch.no_grad():
@@ -132,7 +133,7 @@ def test_keypoint_forward_parity(bundle, hw):
 
 def test_detection_forward_parity(bundle):
     hw = (128, 192)
-    rng = np.random.RandomState(2)
+    rng = oracle_rng(2)
     x = rng.randn(2, hw[0], hw[1], 3).astype(np.float32)
 
     with torch.no_grad():
@@ -150,7 +151,7 @@ def test_detection_forward_parity(bundle):
 
 
 def test_prn_forward_parity(bundle):
-    rng = np.random.RandomState(3)
+    rng = oracle_rng(3)
     grid = rng.rand(3, 56, 36, 17).astype(np.float32)
 
     with torch.no_grad():
@@ -228,7 +229,7 @@ def test_full_pipeline_parity(bundle):
     from multiposenet_tpu.engine.inference import make_full_pipeline
 
     hw = (160, 160)
-    x = np.random.RandomState(4).randn(1, hw[0], hw[1], 3).astype(np.float32)
+    x = oracle_rng(4).randn(1, hw[0], hw[1], 3).astype(np.float32)
 
     with torch.no_grad():
         ref_kp, (ref_scores, ref_class, ref_boxes) = bundle.net.forward(
@@ -273,7 +274,7 @@ def test_full_pipeline_parity(bundle):
 def test_keypoint_loss_parity(bundle):
     """5-term masked MSE + max/min logs vs build_keypoint_loss
     (posenet.py:367-403), on the oracle's own activations."""
-    rng = np.random.RandomState(5)
+    rng = oracle_rng(5)
     x = rng.randn(2, 160, 160, 3).astype(np.float32)
     heat = rng.rand(2, 40, 40, 18).astype(np.float32)
     mask = (rng.rand(2, 40, 40, 18) > 0.2).astype(np.float32)
@@ -297,7 +298,7 @@ def test_detection_loss_parity(bundle):
     """Focal + smooth-L1 vs the reference FocalLoss (losses.py:25-137),
     including the ignore band, empty-annotation image, and -1 padding."""
     hw = (128, 192)
-    rng = np.random.RandomState(6)
+    rng = oracle_rng(6)
     x = rng.randn(2, hw[0], hw[1], 3).astype(np.float32)
 
     anno = -np.ones((2, 4, 5), np.float32)
@@ -360,7 +361,7 @@ def test_resnet101_converter_tree_matches(tmp_path):
 
 
 def test_prn_loss_parity(bundle):
-    rng = np.random.RandomState(7)
+    rng = oracle_rng(7)
     grid = rng.rand(2, 56, 36, 17).astype(np.float32)
     label = (rng.rand(2, 56, 36, 17) * 0.8).astype(np.float32)
 

@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from reference_oracle import (  # noqa: E402
     build_reference_posenet,
     import_reference_net_utils,
+    oracle_rng,
 )
 
 from multiposenet_tpu.config import Config, ModelConfig  # noqa: E402
@@ -223,7 +224,7 @@ def _compare_grads(bundle, our_grads, g64, g32, k_factor=10.0, floor=2e-6,
 def test_keypoint_gradient_parity(bundle):
     """d(5-term masked MSE)/d(params) with BN in TRAIN mode (the reference
     trains BN in this stage, trainer.py:171-173)."""
-    rng = np.random.RandomState(0)
+    rng = oracle_rng(0)
     x = rng.randn(2, 96, 96, 3).astype(np.float32)
     heat = rng.rand(2, 24, 24, 18).astype(np.float32)
     hmask = (rng.rand(2, 24, 24, 18) > 0.2).astype(np.float32)
@@ -267,7 +268,7 @@ def test_detection_gradient_parity(bundle):
     keypoint stage, trainer.py:172-173)."""
     from multiposenet_tpu.ops.anchors import anchors_for_shape
 
-    rng = np.random.RandomState(1)
+    rng = oracle_rng(1)
     x = rng.randn(2, 96, 96, 3).astype(np.float32)
     anno = -np.ones((2, 3, 5), np.float32)
     anno[0, 0] = [5.0, 8.0, 60.0, 80.0, 0.0]
@@ -311,7 +312,7 @@ def test_detection_gradient_parity(bundle):
 def test_prn_gradient_parity(bundle):
     """d(BCE)/d(PRN params); dropout disabled on both sides so the graphs
     are deterministic and comparable."""
-    rng = np.random.RandomState(2)
+    rng = oracle_rng(2)
     grid = rng.rand(4, 56, 36, 17).astype(np.float32)
     label = (rng.rand(4, 56, 36, 17) * 0.8).astype(np.float32)
 
@@ -356,7 +357,7 @@ def test_adam_and_inf_clip_match_torch_trajectory():
     import optax
     from multiposenet_tpu.engine.train_steps import clip_by_global_inf_norm
 
-    rng = np.random.RandomState(7)
+    rng = oracle_rng(7)
     w0 = rng.randn(6, 4).astype(np.float32)
     b0 = rng.randn(4).astype(np.float32)
     grads_seq = [(rng.randn(6, 4).astype(np.float32) * 3.0,
@@ -405,7 +406,7 @@ def test_bn_running_stat_update_vs_torch():
     semantics change would be caught."""
     from flax import linen as nn
 
-    rng = np.random.RandomState(0)
+    rng = oracle_rng(0)
     x = rng.randn(4, 8, 8, 6).astype(np.float32) * 2 + 0.5
     n = 4 * 8 * 8
 
