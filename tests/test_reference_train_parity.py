@@ -78,6 +78,19 @@ class TrainBundle:
             p.requires_grad_(True)
         return self.net
 
+    def f64_stack(self):
+        """float64-compute model + params + batch_stats for the strict
+        gradient-identity checks.  Must be called (and its outputs used)
+        under ``jax.enable_x64(True)``."""
+        import dataclasses
+        if not hasattr(self, "_f64"):
+            model = PoseNet(dataclasses.replace(
+                self.cfg.model, compute_dtype=jnp.float64))
+            cast = lambda a: jnp.asarray(np.asarray(a, np.float64))  # noqa: E731
+            self._f64 = (model, jax.tree.map(cast, self.params),
+                         jax.tree.map(cast, self.batch_stats))
+        return self._f64
+
 
 @pytest.fixture(scope="module")
 def bundle(tmp_path_factory):
@@ -190,35 +203,56 @@ def _map_grad(bundle, key, g):
     return path, leaf, g
 
 
-def _compare_grads(bundle, our_grads, g64, g32, k_factor=10.0, floor=2e-6,
-                   min_leaves=50):
-    """Our f32 gradients must be as close to the float64 truth as the
-    reference's OWN f32 autodiff: per leaf,
+def _compare_grads(bundle, our_grads32, our_grads64, g64, g32,
+                   k_factor=10.0, floor=2e-6, min_leaves=50, tol64=1e-6,
+                   f32_ceiling=1.0):
+    """Two-tier gradient comparison against the torch float64 truth.
 
-        |ours - torch64|_max <= k * max(|torch32 - torch64|_max, floor*scale)
-
-    A plain relative tolerance is meaningless here — this random-init,
-    BN-train-mode network's deep-layer conv grads suffer massive f32
-    cancellation (torch's own f32 grads deviate up to ~0.25 relative from
-    its f64 grads at layer4 leaves), so accuracy is judged against the
-    reference's own float32 conditioning, not an absolute yardstick."""
-    worst = (0.0, "")
+    1. STRICT graph identity (the parity claim): our float64-compute
+       gradients must match torch's float64 gradients per leaf to
+       ``tol64 * scale``.  Measured headroom: identical graphs land at
+       ~1e-9 relative; any semantic difference (a wrong layer, BN
+       statistic, or loss term) lands orders of magnitude above 1e-6.
+       This check is seed-robust — it does not depend on either
+       framework's float32 conditioning.
+    2. f32 SANITY: our float32 gradients must sit within ``k_factor`` of
+       the reference's own f32-vs-f64 error, OR below ``f32_ceiling`` of
+       the leaf's scale.  The ceiling term exists because the two
+       frameworks' f32 summation orders differ (XLA vs oneDNN convs): on
+       some seeds torch's f32 noise at a leaf is luckily ~1e3x smaller
+       than ours (both graphs proven identical by tier 1; measured worst
+       ours-f32 deviation 0.36x the leaf max-grad scale at resnet50
+       layer4 leaves in BN train mode, where relative error compounds
+       multiplicatively — torch's own f32 reaches ~0.25x on other seeds).
+       The 1.0x ceiling still catches precision-config regressions: a
+       bf16 backbone sneaking into the f32 path lands ~256x higher."""
+    worst64 = (0.0, "")
+    worst32 = (0.0, "")
     n = 0
     for key, g in g64.items():
         if g is None:
             continue
         path, leaf, g = _map_grad(bundle, key, g)
         _, _, g32l = _map_grad(bundle, key, g32[key])
-        ours = np.asarray(_lookup(our_grads, path)[leaf], np.float64)
+        ours32 = np.asarray(_lookup(our_grads32, path)[leaf], np.float64)
+        ours64 = np.asarray(_lookup(our_grads64, path)[leaf], np.float64)
         scale = max(float(np.abs(g).max()), 1e-12)
+        r64 = float(np.abs(ours64 - g).max()) / scale
+        if r64 > worst64[0]:
+            worst64 = (r64, key)
         ref_err = max(float(np.abs(g32l - g).max()), floor * scale)
-        ratio = float(np.abs(ours - g).max()) / ref_err
-        if ratio > worst[0]:
-            worst = (ratio, key)
+        bound = max(k_factor * ref_err, f32_ceiling * scale)
+        r32 = float(np.abs(ours32 - g).max()) / bound
+        if r32 > worst32[0]:
+            worst32 = (r32, key)
         n += 1
     assert n >= min_leaves, n
-    assert worst[0] < k_factor, (
-        f"grad err {worst[0]:.2f}x the reference's own f32 error at {worst[1]}")
+    assert worst64[0] < tol64, (
+        f"float64 grad mismatch {worst64[0]:.3e} of scale at {worst64[1]} "
+        "— the graphs are mathematically different")
+    assert worst32[0] < 1.0, (
+        f"f32 grad err {worst32[0]:.2f}x its conditioning bound at "
+        f"{worst32[1]}")
 
 
 def test_keypoint_gradient_parity(bundle):
@@ -247,20 +281,28 @@ def test_keypoint_gradient_parity(bundle):
 
     g64, g32 = ref_grads_at(64), ref_grads_at(32)
 
-    def lf(params):
-        (_, saved), _ = bundle.model.apply(
-            {"params": params, "batch_stats": bundle.batch_stats},
-            jnp.asarray(x), True, method=PoseNet.keypoint_forward,
-            mutable=["batch_stats"])
-        total, _ = keypoint_loss(saved, jnp.asarray(heat), jnp.asarray(hmask))
-        return total
+    def make_lf(model, batch_stats, dtype):
+        def lf(params):
+            (_, saved), _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                jnp.asarray(x.astype(dtype)), True,
+                method=PoseNet.keypoint_forward, mutable=["batch_stats"])
+            total, _ = keypoint_loss(saved, jnp.asarray(heat.astype(dtype)),
+                                     jnp.asarray(hmask.astype(dtype)))
+            return total
+        return lf
 
     # reduced default matmul/conv precision (bf16-like passes even for
     # f32 on this backend) is fine in forwards but compounds through
     # 50 layers of backprop — pin full precision for the comparison
     with jax.default_matmul_precision("highest"):
-        our_grads = jax.jit(jax.grad(lf))(bundle.params)
-    _compare_grads(bundle, our_grads, g64, g32)
+        our32 = jax.jit(jax.grad(make_lf(
+            bundle.model, bundle.batch_stats, np.float32)))(bundle.params)
+        with jax.enable_x64(True):
+            m64, p64, bs64 = bundle.f64_stack()
+            our64 = jax.tree.map(np.asarray, jax.jit(jax.grad(
+                make_lf(m64, bs64, np.float64)))(p64))
+    _compare_grads(bundle, our32, our64, g64, g32)
 
 
 def test_detection_gradient_parity(bundle):
@@ -292,21 +334,31 @@ def test_detection_gradient_parity(bundle):
 
     g64, g32 = ref_grads_at(64), ref_grads_at(32)
 
-    anchors = jnp.asarray(anchors_for_shape((96, 96), bundle.cfg.anchors))
+    anchors_np = np.asarray(anchors_for_shape((96, 96), bundle.cfg.anchors))
 
-    def lf(params):
-        cls, reg = bundle.model.apply(
-            {"params": params, "batch_stats": bundle.batch_stats},
-            jnp.asarray(x), False, method=PoseNet.detection_forward)
-        total, _ = detection_loss(cls, reg, anchors, jnp.asarray(anno))
-        return total
+    def make_lf(model, batch_stats, dtype):
+        def lf(params):
+            cls, reg = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                jnp.asarray(x.astype(dtype)), False,
+                method=PoseNet.detection_forward)
+            total, _ = detection_loss(
+                cls, reg, jnp.asarray(anchors_np.astype(dtype)),
+                jnp.asarray(anno.astype(dtype)))
+            return total
+        return lf
 
     # reduced default matmul/conv precision (bf16-like passes even for
     # f32 on this backend) is fine in forwards but compounds through
     # 50 layers of backprop — pin full precision for the comparison
     with jax.default_matmul_precision("highest"):
-        our_grads = jax.jit(jax.grad(lf))(bundle.params)
-    _compare_grads(bundle, our_grads, g64, g32)
+        our32 = jax.jit(jax.grad(make_lf(
+            bundle.model, bundle.batch_stats, np.float32)))(bundle.params)
+        with jax.enable_x64(True):
+            m64, p64, bs64 = bundle.f64_stack()
+            our64 = jax.tree.map(np.asarray, jax.jit(jax.grad(
+                make_lf(m64, bs64, np.float64)))(p64))
+    _compare_grads(bundle, our32, our64, g64, g32)
 
 
 def test_prn_gradient_parity(bundle):
@@ -330,19 +382,26 @@ def test_prn_gradient_parity(bundle):
 
     g64, g32 = ref_grads_at(64), ref_grads_at(32)
 
-    def lf(params):
-        out = bundle.model.apply(
-            {"params": params}, jnp.asarray(grid), False,
-            method=PoseNet.prn_forward)
-        total, _ = prn_loss(out, jnp.asarray(label))
-        return total
+    def make_lf(model, dtype):
+        def lf(params):
+            out = model.apply(
+                {"params": params}, jnp.asarray(grid.astype(dtype)), False,
+                method=PoseNet.prn_forward)
+            total, _ = prn_loss(out, jnp.asarray(label.astype(dtype)))
+            return total
+        return lf
 
     # reduced default matmul/conv precision (bf16-like passes even for
     # f32 on this backend) is fine in forwards but compounds through
     # 50 layers of backprop — pin full precision for the comparison
     with jax.default_matmul_precision("highest"):
-        our_grads = jax.jit(jax.grad(lf))(bundle.params)
-    _compare_grads(bundle, our_grads, g64, g32, min_leaves=6)
+        our32 = jax.jit(jax.grad(make_lf(
+            bundle.model, np.float32)))(bundle.params)
+        with jax.enable_x64(True):
+            m64, p64, _ = bundle.f64_stack()
+            our64 = jax.tree.map(np.asarray, jax.jit(jax.grad(
+                make_lf(m64, np.float64)))(p64))
+    _compare_grads(bundle, our32, our64, g64, g32, min_leaves=6)
 
 
 # ---------------------------------------------------------------------------
