@@ -153,5 +153,9 @@ class PRN(nn.Module):
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = nn.relu(nn.Dense(d, dtype=dtype, name="dens2")(out))
         out = out + res
-        out = nn.softmax(out.astype(jnp.float32), axis=1)
+        # the 34k-way whole-vector softmax is numerically sensitive: pin it
+        # UP to float32 under bf16 compute without downcasting float64
+        # (the oracle's strict f64 gradient-identity tests run through here)
+        out = nn.softmax(out.astype(jnp.promote_types(out.dtype, jnp.float32)),
+                         axis=1)
         return out.reshape(b, self.height, self.width, 17)

@@ -17,6 +17,14 @@ import jax.numpy as jnp
 from multiposenet_tpu.ops.boxes import box_iou, encode_boxes
 
 
+def _at_least_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Pin reduced-precision activations (bfloat16) up to float32 WITHOUT
+    downcasting higher precision: losses stay parity-exact under bf16
+    compute, and float64 runs (the oracle's strict gradient-identity
+    tests) keep full precision end-to-end."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 # --------------------------------------------------------------------------
 # Keypoint subnet: 5-term masked MSE (reference network/posenet.py:367-403)
 # --------------------------------------------------------------------------
@@ -40,9 +48,9 @@ def keypoint_loss(
              "heatmap_loss_k5", "heatmap_loss"]
     logs = {}
     total = jnp.asarray(0.0, jnp.float32)
-    gt = (heat_mask * heat_target).astype(jnp.float32)
+    gt = _at_least_f32(heat_mask * heat_target)
     for name, out in zip(names, saved_for_loss):
-        pred = out[..., :num_joints].astype(jnp.float32) * heat_mask
+        pred = _at_least_f32(out[..., :num_joints]) * heat_mask
         loss = jnp.mean(jnp.square(pred - gt))
         logs[name] = loss
         total = total + loss
@@ -78,7 +86,7 @@ def focal_loss_single(
     ann_valid = annotations[:, 4] != -1  # (N,)
     num_valid = jnp.sum(ann_valid)
 
-    cls = jnp.clip(classification.astype(jnp.float32), 1e-4, 1.0 - 1e-4)
+    cls = jnp.clip(_at_least_f32(classification), 1e-4, 1.0 - 1e-4)
 
     iou = box_iou(anchors, annotations[:, :4])          # (A, N)
     iou = jnp.where(ann_valid[None, :], iou, -1.0)      # never select padding
@@ -106,7 +114,7 @@ def focal_loss_single(
 
     # regression: smooth L1 on encoded deltas of positive anchors
     reg_targets = encode_boxes(anchors, assigned[:, :4])
-    diff = jnp.abs(reg_targets - regression.astype(jnp.float32))
+    diff = jnp.abs(reg_targets - _at_least_f32(regression))
     smooth = jnp.where(diff <= beta, 0.5 / beta * jnp.square(diff), diff - 0.5 * beta)
     pos_f = positive.astype(jnp.float32)[:, None]
     reg_loss = jnp.sum(smooth * pos_f) / jnp.clip(4.0 * num_pos.astype(jnp.float32), 1.0, None)
@@ -145,7 +153,7 @@ def prn_loss(
     label: jnp.ndarray,   # (B, H, W, 17) gaussian targets
     eps: float = 1e-12,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    out = jnp.clip(output.astype(jnp.float32), eps, 1.0 - eps)
-    lbl = label.astype(jnp.float32)
+    out = jnp.clip(_at_least_f32(output), eps, 1.0 - eps)
+    lbl = _at_least_f32(label)
     loss = -jnp.mean(lbl * jnp.log(out) + (1.0 - lbl) * jnp.log(1.0 - out))
     return loss, {"prn_loss": loss}

@@ -177,12 +177,18 @@ def _compare_results(ref_results, our_results, bbox_atol=1e-6, kp_atol=1e-5):
         rk = np.asarray(r["keypoints"], np.float64).reshape(17, 3)
         ok = np.asarray(o["keypoints"], np.float64).reshape(17, 3)
         np.testing.assert_array_equal(rk[:, 2], ok[:, 2])  # visibility
-        # v=0 fallback entries come through the PRN argmax (tiny forward
-        # drift allowed)
         np.testing.assert_allclose(ok[rk[:, 2] == 1], rk[rk[:, 2] == 1],
                                    atol=kp_atol)
+        # v=0 fallback entries come through an argmax over the PRN output
+        # grid.  When a gaussian blob's center lands mid-cell, its top-2
+        # (vertically/horizontally adjacent) cells are a razor tie that
+        # each framework's f32 conv noise resolves independently — the
+        # coordinate then moves by exactly ONE grid-cell pitch (observed
+        # at fuzz seed 3: dy = box_h/56 on 12 entries, x bit-equal).
+        # Tolerance = 2 px covers one-cell flips at the case's box sizes;
+        # a coordinate-MAPPING bug displaces by half a box (tens of px)
         np.testing.assert_allclose(ok[rk[:, 2] == 0], rk[rk[:, 2] == 0],
-                                   atol=5e-2)
+                                   atol=2.0)
 
 
 def test_prn_process_matches_reference(bundle):
