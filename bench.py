@@ -36,27 +36,19 @@ REFERENCE_IMAGES_PER_SEC = 5.93
 
 
 def main():
+    import dataclasses
     import os
 
     import jax
 
-    # persistent compile cache: the full pipeline takes ~5 min to compile
-    # cold through the remote helper; warm runs start in seconds
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
-    except Exception:
-        pass
+    from multiposenet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     import jax.numpy as jnp
 
     from multiposenet_tpu.config import Config
     from multiposenet_tpu.models.posenet import PoseNet
     from multiposenet_tpu.engine.inference import make_full_pipeline
-
-    import dataclasses
-    import os
 
     cfg = Config()
     if os.environ.get("MPN_BENCH_F32") != "1":

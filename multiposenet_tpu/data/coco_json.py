@@ -84,22 +84,28 @@ class COCOIndex:
 
         Exact transcription of pycocotools ``COCO.loadRes`` (cocoapi
         PythonAPI/pycocotools/coco.py) for box/keypoint result lists — the
-        tool the reference scores with (evaluate/tester.py:184).  Branch
-        order matters and is preserved:
+        tool the reference scores with (evaluate/tester.py:184).  The
+        branch is chosen ONCE from the FIRST result dict (pycocotools
+        tests ``anns[0]``) and applied to the whole list:
 
-        1. ``'bbox' in ann and ann['bbox'] != []`` — the branch the
+        1. ``'bbox' in anns[0] and anns[0]['bbox'] != []`` — the branch the
            reference's own results take (its result dicts always carry the
            person detection box, tester.py:503-510): ``area`` is OVERWRITTEN
            with bbox w*h, a rectangle ``segmentation`` is synthesized, and
            ``iscrowd`` is forced to 0.
-        2. otherwise ``'keypoints'`` — ``bbox``/``area`` are OVERWRITTEN
-           with the x/y extents over ALL keypoint triples INCLUDING
-           unlabeled (v=0) slots at (0, 0); this is what pycocotools does
-           even though zeros drag the extent to the image origin.
+        2. otherwise ``'keypoints' in anns[0]`` — ``bbox``/``area`` are
+           OVERWRITTEN with the x/y extents over ALL keypoint triples
+           INCLUDING unlabeled (v=0) slots at (0, 0); this is what
+           pycocotools does even though zeros drag the extent to the image
+           origin.  A mixed list whose first dict lacks ``bbox`` takes this
+           branch for EVERY dict, exactly like pycocotools.
 
         ``id`` is always overwritten with the 1-based enumeration index.
-        Deviation: pycocotools mutates the caller's dicts in place; here
-        they are copied (not observable through the returned index).
+        Deviations (both documented, neither observable through the
+        returned index on well-formed inputs): pycocotools mutates the
+        caller's dicts in place, here they are copied; and an EMPTY result
+        list returns an empty index where pycocotools raises IndexError
+        probing ``anns[0]``.
         """
         if isinstance(results, str):
             with open(results) as f:
@@ -108,10 +114,12 @@ class COCOIndex:
         bad = {r["image_id"] for r in results} - set(self.imgs)
         assert not bad, f"results reference unknown image ids: {sorted(bad)[:5]}"
 
+        bbox_branch = bool(results) and "bbox" in results[0] \
+            and results[0]["bbox"] != []
         anns = []
         for i, r in enumerate(results):
             ann = dict(r)
-            if "bbox" in ann and ann["bbox"] != []:
+            if bbox_branch:
                 bb = ann["bbox"]
                 x1, x2, y1, y2 = bb[0], bb[0] + bb[2], bb[1], bb[1] + bb[3]
                 if "segmentation" not in ann:
@@ -119,7 +127,7 @@ class COCOIndex:
                 ann["area"] = bb[2] * bb[3]
                 ann["id"] = i + 1
                 ann["iscrowd"] = 0
-            elif "keypoints" in ann:
+            elif "keypoints" in results[0]:
                 kp = ann["keypoints"]
                 xs = kp[0::3]
                 ys = kp[1::3]

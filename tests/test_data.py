@@ -115,6 +115,26 @@ def test_coco_load_res_bbox_branch_takes_precedence():
     assert ann["id"] == 1
 
 
+def test_coco_load_res_branch_chosen_once_from_first_dict():
+    """pycocotools decides the branch ONCE by probing anns[0] ('bbox' in
+    anns[0] and anns[0]['bbox'] != []) and applies it to the WHOLE list.
+    A mixed list whose first dict lacks bbox must take the keypoint branch
+    for every dict — including later dicts that DO carry a bbox, whose
+    bbox/area get overwritten by the keypoint extent."""
+    c = make_gt_index()
+    res = c.load_res([
+        {"image_id": 1, "category_id": 1, "score": 0.9,
+         "keypoints": [10, 10, 1, 20, 30, 1] + [0, 0, 0] * 15},
+        {"image_id": 1, "category_id": 1, "score": 0.8,
+         "bbox": [5.0, 6.0, 40.0, 50.0],
+         "keypoints": [10, 10, 1, 20, 30, 1] + [0, 0, 0] * 15},
+    ])
+    first, second = res.img_to_anns[1]
+    # both went through the keypoint-extent branch
+    assert first["bbox"] == [0, 0, 20, 30] and first["area"] == 600
+    assert second["bbox"] == [0, 0, 20, 30] and second["area"] == 600
+
+
 # ------------------------------------------------------------------- joints
 
 def test_add_neck_matches_reference_semantics():

@@ -522,9 +522,6 @@ def test_demo_path_matches_reference(bundle, tmp_path):
     for seed in range(31 + SEED_OFFSET, 181 + SEED_OFFSET):
         cand = (np.random.RandomState(seed).rand(128, 128, 3) * 255
                 ).astype(np.uint8)
-        t = torch.from_numpy(
-            (nchw := np.ascontiguousarray(
-                cand[None, :, :, ::-1].astype(np.float32))).transpose(0, 3, 1, 2))
         from datasets.coco_data.preprocessing import resnet_preprocess
         inp = torch.from_numpy(
             resnet_preprocess(cand.astype(np.float32))[None])

@@ -45,10 +45,8 @@ def main():
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    except Exception:
-        pass
+    from multiposenet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from multiposenet_tpu.config import Config
@@ -116,9 +114,9 @@ def main():
     print("# batch  p50_ms  p95_ms  img/s")
     for bs, p50, p95, ips in rows:
         print(f"  {bs:5d}  {p50:6.1f}  {p95:6.1f}  {ips:6.1f}")
-    one = next(r for r in rows if r[0] == 1)
+    one = next((r for r in rows if r[0] == 1), rows[0])
     print(json.dumps({
-        "metric": "serving_p50_latency_batch1",
+        "metric": f"serving_p50_latency_batch{one[0]}",
         "value": round(one[1], 1), "unit": "ms",
     }))
 

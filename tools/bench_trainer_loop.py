@@ -24,7 +24,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+from multiposenet_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 
 
 def main():
