@@ -102,7 +102,10 @@ def aug_croppad(s: KeypointSample, cfg: DataConfig, rng: np.random.Generator):
     s.img = img[y0: y0 + crop, x0: x0 + crop]
     # reference slices mask with crop+1 rows/cols (COCO_data_pipeline quirk:
     # aug_croppad mask_miss slice has +1) then resizes; we keep exact crop --
-    # the resize to stride grid swallows the off-by-one.
+    # the resize to stride grid swallows the off-by-one.  When flip fires
+    # the reference's crop+1 columns reverse, shifting its mask content one
+    # pixel right of ours (ours == its columns 1..crop) — same quirk class,
+    # pinned exactly by tests/test_reference_augment_parity.py.
     s.mask_miss = mm[y0: y0 + crop, x0: x0 + crop]
 
     offset = np.array([crop / 2 - center[0], crop / 2 - center[1]])

@@ -129,6 +129,23 @@ def import_reference_net_utils():
     return net_utils
 
 
+def import_reference_augmentation():
+    """Reference ImageAugmentation.py as an oracle.
+
+    Pure numpy/cv2/stdlib-random code (datasets/coco_data/
+    ImageAugmentation.py) — no torch needed, only the sys.path entry.
+    """
+    import sys
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import warnings
+    with warnings.catch_warnings():
+        # its `from scipy import misc` import is deprecated upstream
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from datasets.coco_data import ImageAugmentation  # noqa: E402
+    return ImageAugmentation
+
+
 def import_reference_tester():
     """Import the reference's eval engine (evaluate/tester.py) with stubs
     for its two absent dependencies:
