@@ -96,6 +96,31 @@ def test_remove_illegal_joint_matches_reference(seed):
     np.testing.assert_array_equal(ours[1:], meta["joint_others"])
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_bbox_extents_match_reference(seed):
+    """Cocobbox.get_ground_truth (COCO_data_pipeline.py:382-405): GT boxes
+    from post-augmentation mask extents, crowds skipped, empty masks ->
+    -1 rows.  Ours: data/augment.boxes_from_masks."""
+    from multiposenet_tpu.data.augment import boxes_from_masks
+    mod = _ref_pipeline()
+    rng = np.random.RandomState(seed)
+    masks, classes = [], []
+    for k in range(5):
+        m = np.zeros((60, 80), np.uint8)
+        if k != 3:  # k==3 stays empty (cropped-out instance)
+            x, y = rng.randint(0, 70), rng.randint(0, 50)
+            m[y: y + rng.randint(1, 10), x: x + rng.randint(1, 10)] = 1
+        masks.append(m)
+        classes.append(-1 if k == 1 else 0)
+    meta = {"instance_mask_list": [m.copy() for m in masks],
+            "instance_cls_list": list(classes)}
+    info = {"anns": [{"iscrowd": 1 if c == -1 else 0} for c in classes]}
+    ref = np.array(mod.Cocobbox.get_ground_truth(None, meta, info),
+                   np.float32)
+    ours = boxes_from_masks(masks, classes)
+    np.testing.assert_array_equal(ours, ref)
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_get_ground_truth_matches_reference(seed):
     mod = _ref_pipeline()
