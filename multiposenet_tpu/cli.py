@@ -293,6 +293,22 @@ def cmd_bench(_args):
     bench.main()
 
 
+def cmd_export_torch(args):
+    """Export an orbax checkpoint to the reference's h5 state_dict layout
+    (tools/export_torch_ckpt.py) so a model trained here can be loaded by
+    the original PyTorch code base via its load_net (net_utils.py:69-92)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "export_torch_ckpt",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "export_torch_ckpt.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main([args.ckpt_dir, args.out_h5,
+              "--backbone", args.backbone, "--epoch", str(args.epoch)])
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("multiposenet_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -379,6 +395,16 @@ def main(argv=None):
 
     pb = sub.add_parser("bench")
     pb.set_defaults(fn=cmd_bench)
+
+    pe = sub.add_parser(
+        "export-torch",
+        help="export an orbax ckpt to the reference PyTorch h5 layout")
+    pe.add_argument("ckpt_dir")
+    pe.add_argument("out_h5")
+    pe.add_argument("--backbone", default="resnet101",
+                    choices=["resnet50", "resnet101"])
+    pe.add_argument("--epoch", type=int, default=-1)
+    pe.set_defaults(fn=cmd_export_torch)
 
     args = p.parse_args(argv)
     args.fn(args)
