@@ -221,7 +221,10 @@ def make_keypoint_steps(model: PoseNet, cfg: Config, tx, mask,
         return loss, (logs, new_stats)
 
     rep, dat = _shardings(mesh)
-    jit_kw: Dict[str, Any] = dict(donate_argnums=(0,))
+    # cfg.train.donate_state: in-place state buffer reuse (halves peak HBM
+    # for params+opt state); off = keep the old state readable after a step
+    jit_kw: Dict[str, Any] = (
+        dict(donate_argnums=(0,)) if cfg.train.donate_state else {})
     if mesh is not None:
         jit_kw.update(in_shardings=(rep, dat, rep), out_shardings=(rep, rep))
 
@@ -272,7 +275,10 @@ def make_detection_steps(model: PoseNet, cfg: Config, tx, mask,
         return loss, logs
 
     rep, dat = _shardings(mesh)
-    jit_kw: Dict[str, Any] = dict(donate_argnums=(0,))
+    # cfg.train.donate_state: in-place state buffer reuse (halves peak HBM
+    # for params+opt state); off = keep the old state readable after a step
+    jit_kw: Dict[str, Any] = (
+        dict(donate_argnums=(0,)) if cfg.train.donate_state else {})
     if mesh is not None:
         jit_kw.update(in_shardings=(rep, dat, rep), out_shardings=(rep, rep))
 
@@ -325,7 +331,10 @@ def make_prn_steps(model: PoseNet, cfg: Config, tx, mask,
         return prn_loss(out, labels)
 
     rep, dat = _shardings(mesh)
-    jit_kw: Dict[str, Any] = dict(donate_argnums=(0,))
+    # cfg.train.donate_state: in-place state buffer reuse (halves peak HBM
+    # for params+opt state); off = keep the old state readable after a step
+    jit_kw: Dict[str, Any] = (
+        dict(donate_argnums=(0,)) if cfg.train.donate_state else {})
     if mesh is not None:
         jit_kw.update(in_shardings=(rep, dat, rep, rep), out_shardings=(rep, rep))
 

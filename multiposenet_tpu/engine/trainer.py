@@ -168,6 +168,10 @@ class Trainer:
         # so LR decisions stay in lockstep without a collective
         self.is_primary = dist.is_primary()
         self.metrics = MetricsWriter(self.save_dir) if self.is_primary else None
+        # background checkpoint writes: the step loop never blocks on the
+        # state device_get + orbax disk write (checkpoint.AsyncSaver); waits
+        # happen only where the file must exist (best-copy, preemption, end)
+        self.saver = ckpt_lib.AsyncSaver()
         self._stop_requested = False
 
     def install_signal_handlers(self):
@@ -205,20 +209,22 @@ class Trainer:
 
             if (self.last_epoch % self.cfg.train.save_freq_epoch == 0
                     or self.last_epoch == self.cfg.train.max_epoch):
-                path = None
+                path_fut = None
                 if self.is_primary:
-                    path = ckpt_lib.save_checkpoint(
+                    # async: the save overlaps the end-of-epoch validation
+                    path_fut = self.saver.save(
                         self.save_dir, self.state, self.last_epoch,
                         self.cfg.train.save_nckpt_max)
                 if self.cfg.train.val_nbatch_end_epoch > 0 and self.val_data is not None:
                     val_loss = self.validate(self.cfg.train.val_nbatch_end_epoch)
                     if val_loss < best_loss:
-                        if path is not None:
-                            best = ckpt_lib.copy_best(path, val_loss)
+                        if path_fut is not None:
+                            best = ckpt_lib.copy_best(path_fut.result(), val_loss)
                             logger.info("found better ckpt (%.5f -> %.5f): %s",
                                         best_loss, val_loss, best)
                         best_loss = val_loss
                     self.scheduler.step(val_loss)
+        self.saver.wait()
 
     def _flush_logs(self, pending, meters) -> Optional[Dict[str, float]]:
         """Fetch all buffered per-step device logs in ONE transfer and feed
@@ -274,9 +280,8 @@ class Trainer:
 
             if self.global_step % cfg.save_freq_step == 0 and self.is_primary:
                 self._flush_logs(pending, meters)
-                ckpt_lib.save_checkpoint(self.save_dir, self.state,
-                                         self.last_epoch, cfg.save_nckpt_max,
-                                         step=self.global_step)
+                self.saver.save(self.save_dir, self.state, self.last_epoch,
+                                cfg.save_nckpt_max, step=self.global_step)
 
             if (self.val_data is not None and cfg.val_freq > 0
                     and self.global_step % cfg.val_freq == 0):
@@ -284,9 +289,10 @@ class Trainer:
 
             if self._stop_requested:
                 if self.is_primary:
-                    ckpt_lib.save_checkpoint(
+                    self.saver.save(
                         self.save_dir, self.state, self.last_epoch,
                         cfg.save_nckpt_max, step=self.global_step)
+                    self.saver.wait()  # the process exits right after
                     logger.info("checkpointed at step %d after stop request",
                                 self.global_step)
                 raise SystemExit(0)

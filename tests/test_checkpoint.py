@@ -64,6 +64,43 @@ def test_step_checkpoints_distinct_and_ordered(tmp_path):
     assert ckpt_lib.list_checkpoints(d) == [(3, -1), (4, 10)]
 
 
+def test_async_saver_roundtrip_and_order(tmp_path):
+    """AsyncSaver writes every enqueued checkpoint (in order, so pruning
+    sees them newest-last), wait() returns the newest path, and restored
+    contents match what was enqueued — not a later mutation of the host
+    copy (the worker snapshots via device_get at save time)."""
+    d = str(tmp_path / "ckpts")
+    saver = ckpt_lib.AsyncSaver()
+    t1 = _tree()
+    fut1 = saver.save(d, t1, epoch=1)
+    t2 = _tree()
+    t2["params"]["b"]["w"] = np.full((4,), 9.0, np.float32)
+    saver.save(d, t2, epoch=2, max_n_ckpts=2)
+    path = saver.wait()
+    assert path.endswith("ckpt_2") and fut1.result().endswith("ckpt_1")
+    assert ckpt_lib.list_checkpoints(d) == [(1, -1), (2, -1)]
+    r1 = ckpt_lib.restore_checkpoint(os.path.join(d, "ckpt_1"), t1)
+    r2 = ckpt_lib.restore_checkpoint(os.path.join(d, "ckpt_2"), t1)
+    np.testing.assert_array_equal(r1["params"]["b"]["w"], np.ones(4))
+    np.testing.assert_array_equal(r2["params"]["b"]["w"], np.full(4, 9.0))
+    # wait() with nothing pending is a no-op returning None
+    assert saver.wait() is None
+
+
+def test_async_saver_propagates_failure(tmp_path):
+    """A failed background save must surface at wait(), not vanish."""
+    f = tmp_path / "not_a_dir"
+    f.write_text("occupied")
+    saver = ckpt_lib.AsyncSaver()
+    saver.save(str(f), _tree(), epoch=1)  # save_dir path is a FILE
+    try:
+        saver.wait()
+    except OSError:
+        pass
+    else:
+        raise AssertionError("expected the background failure to re-raise")
+
+
 def test_partial_restore_tolerates_mismatch(tmp_path):
     d = str(tmp_path / "ckpts")
     t = _tree()

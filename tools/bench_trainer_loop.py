@@ -43,6 +43,12 @@ def main():
                     help="also time the round-1 chained bare-step protocol "
                          "in this same process for an apples-to-apples "
                          "denominator")
+    ap.add_argument("--save-freq-step", type=int, default=10 ** 9,
+                    help="checkpoint every N steps inside the timed epoch "
+                         "(measures the save stall)")
+    ap.add_argument("--sync-save", action="store_true",
+                    help="force SYNCHRONOUS saves (the pre-AsyncSaver "
+                         "behavior) for an A/B against the background saver")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +65,8 @@ def main():
         data=DataConfig(inp_size=size),
         train=TrainConfig(batch_size=args.batch, max_epoch=1,
                           print_freq=args.print_freq, val_freq=0,
-                          val_nbatch_end_epoch=0, save_freq_step=10 ** 9,
+                          val_nbatch_end_epoch=0,
+                          save_freq_step=args.save_freq_step,
                           save_dir="/tmp/mpn_bench_models",
                           exp_name="bench_loop", re_init=True))
 
@@ -79,6 +86,22 @@ def main():
     batches = [make_batch() for _ in range(4)]
 
     t = Trainer(cfg, train_data=batches)  # warmup epoch: compile + caches
+    if args.sync_save:
+        # the pre-AsyncSaver behavior: block the loop on device_get + write
+        import concurrent.futures
+
+        from multiposenet_tpu.engine import checkpoint as ckpt_lib
+
+        class SyncSaver:
+            def save(self, *a, **kw):
+                f = concurrent.futures.Future()
+                f.set_result(ckpt_lib.save_checkpoint(*a, **kw))
+                return f
+
+            def wait(self):
+                return None
+
+        t.saver = SyncSaver()
     t.train_data = batches
     t0 = time.perf_counter()
     t._train_one_epoch()
@@ -105,6 +128,9 @@ def main():
         "backbone": args.backbone,
         "dtype": "f32" if args.f32 else "bf16",
         "preput": bool(args.preput),
+        "save_freq_step": (args.save_freq_step
+                           if args.save_freq_step < 10 ** 9 else None),
+        "sync_save": bool(args.sync_save),
         "warmup_epoch_s": round(warm, 2),
         "backend": jax.default_backend(),
     }
