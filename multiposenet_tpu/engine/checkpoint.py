@@ -103,35 +103,81 @@ class AsyncSaver:
     not a blocking D2H.  The worker then device_gets the private copy.
 
     A single worker serializes saves (and the pruning they trigger) in
-    submission order.  `wait()` drains every pending save and re-raises the
-    first failure — call it wherever the checkpoint must exist on disk
-    (best-copy, end of training, preemption exit).
+    submission order.  Backpressure: each enqueued save pins a full
+    on-device snapshot (~250 MB for resnet101) in HBM until the worker
+    drains it, so `save()` blocks until the PREVIOUS save has finished —
+    at most one snapshot is ever in flight, and a storage slower than
+    save_freq_step degrades to synchronous saves instead of OOMing HBM.
+
+    Failures are logged the moment they happen (done-callback), so a
+    background save error is visible immediately, not only at the final
+    `wait()`.  `wait()` drains every pending save, then re-raises the first
+    failure — call it wherever the checkpoint must exist on disk
+    (best-copy, end of training); the preemption path instead waits on its
+    own save's Future so an earlier stale failure cannot mask a successful
+    exit checkpoint (trainer.py stop path).
     """
 
     def __init__(self):
         self._pool: Optional[concurrent.futures.ThreadPoolExecutor] = None
         self._pending: List[concurrent.futures.Future] = []
 
+    @staticmethod
+    def _snapshot_leaf(x):
+        # jax.Array: async on-device copy (see donation-safety note above).
+        # np.ndarray: host copy — numpy leaves are shared by reference, so
+        # an in-place host mutation after enqueue would race the write.
+        if isinstance(x, jax.Array):
+            return x.copy()
+        if isinstance(x, np.ndarray):
+            return np.array(x, copy=True)
+        return x
+
+    @staticmethod
+    def _log_failure(fut: concurrent.futures.Future) -> None:
+        exc = fut.exception()
+        if exc is not None:
+            logger.error("background checkpoint save failed: %r", exc)
+
     def save(self, save_dir: str, state, epoch: int, max_n_ckpts: int = 0,
              step: Optional[int] = None) -> concurrent.futures.Future:
-        """Enqueue a save_checkpoint; returns a Future resolving to its path."""
+        """Enqueue a save_checkpoint; returns a Future resolving to its path.
+
+        Blocks (without raising) until any previous save completes, so at
+        most one snapshot is pinned at a time."""
         if self._pool is None:
             self._pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="ckpt-save")
-        snap = jax.tree.map(
-            lambda x: x.copy() if isinstance(x, jax.Array) else x, state)
+        if self._pending:
+            concurrent.futures.wait(self._pending)
+            # failures were logged by the done-callback; keep the futures so
+            # wait() can still re-raise, but drop the succeeded ones
+            self._pending = [f for f in self._pending if f.exception() is not None]
+        snap = jax.tree.map(self._snapshot_leaf, state)
         fut = self._pool.submit(save_checkpoint, save_dir, snap, epoch,
                                 max_n_ckpts, step)
+        fut.add_done_callback(self._log_failure)
         self._pending.append(fut)
         return fut
 
     def wait(self) -> Optional[str]:
         """Block until every enqueued save has finished; re-raise the first
-        failure; return the newest save's path (None if nothing pending)."""
+        failure AFTER all have completed (later failures are logged by the
+        done-callback, never silently dropped); return the newest
+        successful save's path (None if nothing pending)."""
         pending, self._pending = self._pending, []
+        concurrent.futures.wait(pending)
         path = None
+        first_exc = None
         for fut in pending:
-            path = fut.result()
+            exc = fut.exception()
+            if exc is not None:
+                if first_exc is None:
+                    first_exc = exc
+            else:
+                path = fut.result()
+        if first_exc is not None:
+            raise first_exc
         return path
 
 

@@ -150,6 +150,145 @@ def make_keypoint_pipeline(model: PoseNet, cfg: Config, preprocess: bool = True)
 
 
 # ----------------------------------------------------------------------
+# Full demo-equivalent pipeline: images -> grouped people, one dispatch.
+# ----------------------------------------------------------------------
+
+# 18-joint internal order -> 17 joints: drop the synthesized neck (joint 1)
+# and shift the rest down (reference evaluate/tester.py:160-167)
+NECK_DROP_17 = np.array([0] + list(range(2, 18)), np.int32)
+
+
+class PoseAssignments(NamedTuple):
+    """Per-image batched device grouping outputs (see ops/grouping.py).
+
+    Everything the host needs to emit the reference's prn_result rows —
+    one `jax.device_get` of this tuple plus `eval.grouping.format_assignment`
+    per image completes the demo protocol (tester.py:195-254)."""
+    chosen: jnp.ndarray       # (B, maxb, 17) int32 peak slot per joint, -1
+    active_any: jnp.ndarray   # (B, 17) bool joint type has any scored peak
+    active: jnp.ndarray       # (B, maxb, 17, P) bool
+    fallback_xy: jnp.ndarray  # (B, maxb, 17, 2) PRN-argmax fallback coords
+    peak_xy: jnp.ndarray      # (B, 17, P, 2) original-image pixel coords
+    peak_valid: jnp.ndarray   # (B, 17, P) bool
+    boxes_xywh: jnp.ndarray   # (B, maxb, 4) original-image scale
+    box_valid: jnp.ndarray    # (B, maxb) bool (a score-desc PREFIX)
+
+
+def make_e2e_pose_pipeline(model: PoseNet, cfg: Config,
+                           image_hw: Tuple[int, int],
+                           preprocess: bool = True):
+    """images -> grouped-person assignments: the ENTIRE demo path
+    (reference evaluate/tester.py:195-254 incl. prn_process tester.py:333-429)
+    as ONE jitted dispatch per batch.
+
+    Covers: preprocess -> FPN forward -> anchor decode -> NMS -> heatmap
+    peaks -> neck drop/17-joint reindex -> detection test-threshold + crowd
+    cap -> batched PRN grids -> PRN forward -> per-peak score tables ->
+    on-device greedy mutual-best assignment.  Only `format_assignment`
+    (O(people x joints) host dict building) remains outside the graph.
+
+    `scales` maps model-input pixels back to original-image pixels per image
+    (the reference scales joints AND boxes on host before prn_process,
+    tester.py:221,241 — scaling changes PRN cell geometry via ceil(w), so it
+    must happen before the PRN stage, not after).  Pass ones for square
+    inputs already at model resolution.
+
+    Returns (PipelineOutput, PoseAssignments).
+    """
+    base = make_full_pipeline(model, cfg, image_hw, preprocess=preprocess)
+    prn = make_prn_pipeline(model, cfg)
+    from multiposenet_tpu.ops.grouping import assign_peaks
+
+    maxb = cfg.prn.max_people
+    test_thresh = cfg.detection.test_score_thresh
+    sel = jnp.asarray(NECK_DROP_17)
+
+    @jax.jit
+    def run(params, images, scales) -> Tuple[PipelineOutput, PoseAssignments]:
+        out = base.__wrapped__(params, images)
+        s = scales.astype(jnp.float32)[:, None, None]
+
+        # peaks: 18 -> 17 joints; the device top-k emits valid peaks as a
+        # score-descending prefix, matching the host joint-list bucketing
+        # order (evaluator._joints_to_peak_arrays)
+        pxy = out.peaks.coords[:, sel] * s[..., None]
+        pvalid = out.peaks.valid[:, sel]
+        # every peak enters the PRN table with confidence 1 (tester.py:345)
+        pscore = jnp.where(pvalid, 1.0, -1.0)
+
+        # detections: NMS keeps suppressed slots in place (scores -1), so
+        # compact kept boxes to a score-desc prefix, apply the demo test
+        # threshold (tester.py:236), cap at max_people, convert to xywh in
+        # original-image coordinates
+        order = jnp.argsort(-out.detections.scores, axis=1)[:, :maxb]
+        dsc = jnp.take_along_axis(out.detections.scores, order, axis=1)
+        dbx = jnp.take_along_axis(out.detections.boxes, order[..., None],
+                                  axis=1) * s
+        bvalid = dsc > test_thresh
+        xywh = jnp.concatenate(
+            [dbx[..., :2], dbx[..., 2:] - dbx[..., :2]], axis=-1)
+        xywh = jnp.where(bvalid[..., None], xywh, 0.0)
+
+        def one(pp_xy, pp_score, pp_valid, bxs, bv):
+            table, inside, prn_out, x0, y0 = prn.__wrapped__(
+                params, pp_xy, pp_score, pp_valid, bxs, bv)
+            return assign_peaks(table, inside, x0, y0, prn_out, bxs)
+
+        a = jax.vmap(one)(pxy, pscore, pvalid, xywh, bvalid)
+        return out, PoseAssignments(
+            chosen=a.chosen, active_any=a.active_any, active=a.active,
+            fallback_xy=a.fallback_xy, peak_xy=pxy, peak_valid=pvalid,
+            boxes_xywh=xywh, box_valid=bvalid)
+
+    return run
+
+
+def make_sharded_e2e_pipeline(model: PoseNet, cfg: Config,
+                              image_hw: Tuple[int, int], mesh,
+                              preprocess: bool = True):
+    """Mesh-sharded make_e2e_pose_pipeline: params replicated, image batch
+    (and every per-image output) sharded on the batch axis — one predictor
+    saturates a whole slice with zero collectives in the forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    base = make_e2e_pose_pipeline(model, cfg, image_hw, preprocess=preprocess)
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+
+    @functools.partial(jax.jit, in_shardings=(rep, dat, dat),
+                       out_shardings=dat)
+    def run(params, images, scales):
+        return base.__wrapped__(params, images, scales)
+
+    return run
+
+
+def format_pose_batch(assigns: PoseAssignments, file_names=None,
+                      image_ids=None):
+    """Host tail of the e2e pipeline: fetched PoseAssignments -> per-image
+    person result lists (reference prn_result rows).  `assigns` must already
+    be on host (pass through jax.device_get first — ONE transfer per batch)."""
+    from multiposenet_tpu.eval.grouping import format_assignment
+
+    n = assigns.box_valid.shape[0]
+    file_names = file_names or [""] * n
+    image_ids = image_ids or [0] * n
+    results = []
+    for i in range(n):
+        nb = int(np.asarray(assigns.box_valid[i]).sum())  # valid is a prefix
+        active = np.asarray(assigns.active[i, :nb])
+        results.append(format_assignment(
+            np.asarray(assigns.chosen[i, :nb]),
+            active.any(axis=(0, 2)) if nb else np.asarray(assigns.active_any[i]),
+            active,
+            np.asarray(assigns.fallback_xy[i, :nb]),
+            np.asarray(assigns.peak_xy[i]),
+            np.asarray(assigns.boxes_xywh[i, :nb]),
+            file_name=file_names[i], image_id=image_ids[i]))
+    return results
+
+
+# ----------------------------------------------------------------------
 # PRN stage: build per-person input grids, run PRN, score peaks — one jit.
 # ----------------------------------------------------------------------
 

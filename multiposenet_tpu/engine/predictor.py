@@ -7,10 +7,15 @@ fixed-shape batch.  BatchPredictor:
 - pads/letterboxes arbitrary images to the model's square input on host
   (same pad-to-square + resize as reference tester.py:201-208),
 - packs them into fixed-capacity batches (padding ragged tails with zeros),
-- runs the fused pipeline + PRN stage (one jit each),
+- runs the ENTIRE pose pipeline — forward, NMS, peaks, PRN, grouping —
+  as one jitted dispatch per batch (engine/inference.make_e2e_pose_pipeline);
+  only dict formatting stays on host,
 - unpacks per-image person results in original-image coordinates.
 
-H2D of the next batch overlaps device compute via async dispatch.
+Pass a `jax.sharding.Mesh` to shard each batch over its devices (params
+replicated, batch axis split — zero collectives in the forward), so one
+predictor saturates a whole slice.  H2D of the next batch overlaps device
+compute via async dispatch.
 """
 
 from __future__ import annotations
@@ -19,20 +24,38 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from multiposenet_tpu.config import Config
-from multiposenet_tpu.engine.evaluator import Evaluator, drop_neck
+from multiposenet_tpu.engine.inference import (
+    format_pose_batch,
+    make_e2e_pose_pipeline,
+    make_sharded_e2e_pipeline,
+)
 from multiposenet_tpu.models.posenet import PoseNet
 
 
 class BatchPredictor:
     def __init__(self, cfg: Config, model: Optional[PoseNet] = None,
-                 params=None, batch_size: int = 8):
+                 params=None, batch_size: int = 8, mesh=None):
         self.cfg = cfg
         self.batch_size = batch_size
-        self.ev = Evaluator(cfg, model, params)
+        self.model = model or PoseNet(cfg.model)
+        self.params = params
         self.inp = cfg.eval.inp_size
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            if batch_size % n_dev != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must be divisible by the mesh "
+                    f"device count {n_dev} (batch-axis sharding)")
+            self._pipeline = make_sharded_e2e_pipeline(
+                self.model, cfg, (self.inp, self.inp), mesh)
+        else:
+            self._pipeline = make_e2e_pose_pipeline(
+                self.model, cfg, (self.inp, self.inp))
 
     # -- host-side packing ------------------------------------------------
 
@@ -48,49 +71,35 @@ class BatchPredictor:
 
     # -- public API --------------------------------------------------------
 
-    def _finish_chunk(self, out, packed) -> List[List[Dict]]:
+    def _finish_chunk(self, assigns, n_real: int) -> List[List[Dict]]:
         """Fetch one dispatched chunk (single batched device_get) and run
-        the host/PRN tail per image."""
-        import jax
-        coords, scores, valid, dscores, dboxes = jax.device_get(
-            (out.peaks.coords, out.peaks.scores, out.peaks.valid,
-             out.detections.scores, out.detections.boxes))
-        results: List[List[Dict]] = []
-        for i, (_, scale) in enumerate(packed):
-            js, ps = np.nonzero(valid[i])   # j-major == reference peak order
-            if len(js):
-                rows = np.column_stack([
-                    coords[i, js, ps] * scale, scores[i, js, ps],
-                    np.arange(len(js)), js])
-            else:
-                rows = np.zeros((0, 5))
-            joints = drop_neck(rows)
-            keep = dscores[i] > self.cfg.detection.test_score_thresh
-            boxes = (dboxes[i][keep] * scale).tolist()
-            results.append(self.ev.prn_process(joints, boxes))
-        return results
+        the host formatting tail per image."""
+        assigns = jax.device_get(assigns)
+        return format_pose_batch(assigns)[:n_real]
 
     def predict(self, images_bgr: Sequence[np.ndarray]) -> List[List[Dict]]:
         """BGR images (any sizes) -> per-image person result lists.
 
-        Chunks are dispatched 2 deep: the device runs chunk k+1's forward
-        while the host unpacks chunk k (jax dispatch is async)."""
+        Chunks are dispatched 2 deep: the device runs chunk k+1's pipeline
+        while the host formats chunk k (jax dispatch is async)."""
         results: List[List[Dict]] = []
-        pipeline = self.ev.pipeline((self.inp, self.inp))
         pending = []
         for lo in range(0, len(images_bgr), self.batch_size):
             chunk = images_bgr[lo: lo + self.batch_size]
             packed = [self._pack(im) for im in chunk]
             batch = np.zeros((self.batch_size, self.inp, self.inp, 3),
                              np.uint8)
-            for i, (rgb, _) in enumerate(packed):
+            scales = np.ones(self.batch_size, np.float32)
+            for i, (rgb, scale) in enumerate(packed):
                 batch[i] = rgb
-            pending.append((pipeline(self.ev.params, jnp.asarray(batch)),
-                            packed))
+                scales[i] = scale
+            _, assigns = self._pipeline(
+                self.params, jnp.asarray(batch), jnp.asarray(scales))
+            pending.append((assigns, len(packed)))
             if len(pending) > 2:
                 results.extend(self._finish_chunk(*pending.pop(0)))
-        for out, packed in pending:
-            results.extend(self._finish_chunk(out, packed))
+        for assigns, n_real in pending:
+            results.extend(self._finish_chunk(assigns, n_real))
         return results
 
     def predict_stream(self, images: Iterable[np.ndarray]

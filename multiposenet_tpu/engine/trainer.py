@@ -289,12 +289,16 @@ class Trainer:
 
             if self._stop_requested:
                 if self.is_primary:
-                    self.saver.save(
+                    fut = self.saver.save(
                         self.save_dir, self.state, self.last_epoch,
                         cfg.save_nckpt_max, step=self.global_step)
-                    self.saver.wait()  # the process exits right after
-                    logger.info("checkpointed at step %d after stop request",
-                                self.global_step)
+                    # wait on THIS save's future (not saver.wait()): an
+                    # earlier background-save failure — already logged by the
+                    # saver's done-callback — must not mask a successful
+                    # preemption checkpoint / clean SystemExit(0)
+                    path = fut.result()
+                    logger.info("checkpointed at step %d after stop request "
+                                "(%s)", self.global_step, path)
                 raise SystemExit(0)
 
             self.data_timer.tic()

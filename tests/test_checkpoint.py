@@ -67,8 +67,9 @@ def test_step_checkpoints_distinct_and_ordered(tmp_path):
 def test_async_saver_roundtrip_and_order(tmp_path):
     """AsyncSaver writes every enqueued checkpoint (in order, so pruning
     sees them newest-last), wait() returns the newest path, and restored
-    contents match what was enqueued — not a later mutation of the host
-    copy (the worker snapshots via device_get at save time)."""
+    contents match what was enqueued — save() snapshots jax.Array AND
+    np.ndarray leaves at enqueue time (see test_async_saver_snapshots_
+    host_leaves for the in-place-mutation proof)."""
     d = str(tmp_path / "ckpts")
     saver = ckpt_lib.AsyncSaver()
     t1 = _tree()
@@ -99,6 +100,90 @@ def test_async_saver_propagates_failure(tmp_path):
         pass
     else:
         raise AssertionError("expected the background failure to re-raise")
+
+
+def test_async_saver_snapshots_host_leaves(tmp_path, monkeypatch):
+    """In-place mutation of a NUMPY leaf after enqueue must not leak into
+    the written checkpoint — save() copies np.ndarray leaves in the
+    snapshot, not just jax.Arrays (ADVICE r2).  The worker is gated so the
+    mutation provably happens before the write."""
+    import threading
+
+    release = threading.Event()
+    real = ckpt_lib.save_checkpoint
+
+    def gated(*a, **kw):
+        release.wait(timeout=30)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ckpt_lib, "save_checkpoint", gated)
+    d = str(tmp_path / "ckpts")
+    saver = ckpt_lib.AsyncSaver()
+    t = _tree()
+    saver.save(d, t, epoch=1)
+    t["params"]["b"]["w"][...] = -7.0  # mutate host copy before worker runs
+    release.set()
+    saver.wait()
+    r = ckpt_lib.restore_checkpoint(os.path.join(d, "ckpt_1"), _tree())
+    np.testing.assert_array_equal(r["params"]["b"]["w"], np.ones(4))
+
+
+def test_async_saver_backpressure(tmp_path, monkeypatch):
+    """At most one save is ever in flight: a second save() blocks until the
+    first completes, so pinned snapshots cannot accumulate and OOM HBM when
+    storage is slower than save_freq_step (ADVICE r2, medium)."""
+    import threading
+
+    started = threading.Event()
+    release = threading.Event()
+    real = ckpt_lib.save_checkpoint
+
+    def gated(*a, **kw):
+        started.set()
+        release.wait(timeout=30)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ckpt_lib, "save_checkpoint", gated)
+    d = str(tmp_path / "ckpts")
+    saver = ckpt_lib.AsyncSaver()
+    fut1 = saver.save(d, _tree(), epoch=1)
+    assert started.wait(timeout=30)
+
+    result = {}
+
+    def second():
+        result["fut2"] = saver.save(d, _tree(), epoch=2)
+        result["fut1_done_at_enqueue"] = fut1.done()
+
+    th = threading.Thread(target=second)
+    th.start()
+    th.join(timeout=0.5)
+    assert th.is_alive(), "second save() should block on the in-flight save"
+    release.set()
+    th.join(timeout=30)
+    assert not th.is_alive()
+    assert result["fut1_done_at_enqueue"]
+    assert saver.wait().endswith("ckpt_2")
+
+
+def test_async_saver_wait_collects_all_failures(tmp_path):
+    """wait() completes ALL futures before re-raising the FIRST failure —
+    a failure followed by a successful save still surfaces (and the
+    successful write exists on disk), and a fresh wait() is clean."""
+    bad = tmp_path / "not_a_dir"
+    bad.write_text("occupied")
+    good = str(tmp_path / "ckpts")
+    saver = ckpt_lib.AsyncSaver()
+    saver.save(str(bad), _tree(), epoch=1)   # fails: save_dir is a FILE
+    saver.save(good, _tree(), epoch=2)       # succeeds
+    try:
+        saver.wait()
+    except OSError:
+        pass
+    else:
+        raise AssertionError("expected the first failure to re-raise")
+    assert ckpt_lib.latest_checkpoint(good).endswith("ckpt_2")
+    assert saver.wait() is None  # drained: no stale failures re-surface
 
 
 def test_partial_restore_tolerates_mismatch(tmp_path):
