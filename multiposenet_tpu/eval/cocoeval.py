@@ -104,6 +104,7 @@ class KeypointEval:
         gtm = np.zeros((num_t, len(gts)), dtype=np.int64) - 1
         dtm = np.zeros((num_t, len(dts)), dtype=np.int64) - 1
         gt_ig = np.array([g["_ignore"] for g in gts])
+        crowd = np.array([int(g.get("iscrowd", 0)) for g in gts], np.int64)
         dt_ig = np.zeros((num_t, len(dts)))
 
         for ti, t in enumerate(IOU_THRS):
@@ -111,7 +112,15 @@ class KeypointEval:
                 iou = min(t, 1 - 1e-10)
                 m = -1
                 for gi, g in enumerate(gts):
-                    if gtm[ti, gi] >= 0:
+                    # a matched gt is off the table UNLESS it is a crowd —
+                    # crowd gts absorb any number of detections
+                    # (pycocotools evaluateImg: "if this gt already
+                    # matched, and not a crowd, continue"); crowd anns
+                    # usually carry 0 keypoints, so their expanded-bbox
+                    # OKS is 1.0 for any detection inside the region and
+                    # this branch decides FP-vs-ignored for every extra
+                    # detection in a crowd
+                    if gtm[ti, gi] >= 0 and not crowd[gi]:
                         continue
                     # stop at ignored gts once a real match was found
                     if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:

@@ -16,12 +16,29 @@ structure:
 - OKS: recomputed from the formula, not shared with the implementation
   under test.
 
-Scores/coordinates are drawn continuously so order ties (the one place
-where implementations may legitimately diverge) have probability zero.
-Every one of the 10 summary statistics must agree to 1e-9 on randomized
-datasets exercising: crowd gts, zero-keypoint gts, area-bucket ignores on
-both gt and dt side, maxDets truncation, empty images, unmatched garbage
-detections, and the no-labeled-keypoints expanded-bbox OKS branch.
+The TIE CONTRACT is pinned to pycocotools' exact semantics and fuzzed
+explicitly (round-3; the round-2 fuzz drew continuous scores so ties had
+probability zero, leaving the contract untested while the real pipeline
+CAN emit tied scores — confidence-1 peak entries and all-v=0 fallback
+rows):
+- equal detection scores: mergesort-stable everywhere — per-image order is
+  results-list insertion order, cross-image order is image-major in sorted
+  img_id order (both implementations inherit this from stable sorts);
+- equal OKS between gts: the LAST qualifying gt in ignored-last gt order
+  wins (pycocotools' running-max scan updates on `>=`);
+- crowd gts (iscrowd=1) absorb ANY number of detections — a matched crowd
+  gt stays available (pycocotools: "if this gt already matched, and not a
+  crowd, continue"), so extra detections in a crowd are ignored, not FPs;
+- OKS exactly equal to min(thr, 1-1e-10) counts as a match.
+
+`test_fuzz_all_ten_stats_match` keeps the continuous-score regime;
+`test_fuzz_degenerate_ties` draws quantized (heavily tied) scores,
+exact-duplicate detections, zero-area dt boxes, single-point all-v=0-style
+keypoint rows, and multi-detection crowds.  Every one of the 10 summary
+statistics must agree to 1e-9 on both regimes, which together exercise:
+crowd gts, zero-keypoint gts, area-bucket ignores on both gt and dt side,
+maxDets truncation, empty images, unmatched garbage detections, and the
+no-labeled-keypoints expanded-bbox OKS branch.
 """
 
 import numpy as np
@@ -86,27 +103,32 @@ def _eval_twin(gt_index, dt_index, img_ids):
             oks = np.array([[_oks_twin(d["keypoints"], g) for g in gts]
                             for d in dts]) if gts else np.zeros((len(dts), 0))
 
+            crowd = [int(g.get("iscrowd", 0)) for g in gts]
             per_thr = []  # per threshold: list of (matched, to_ignored)
             for t in IOU_THRS:
                 taken = [False] * len(gts)
                 res = []
                 for di in range(len(dts)):
-                    pick = -1
-                    # pass 1: best available non-ignored gt at OKS >= t
-                    best = min(t, 1 - 1e-10)
-                    for gi in range(len(gts)):
-                        if taken[gi] or gt_ign[gi]:
-                            continue
-                        if oks[di, gi] > best:
-                            best, pick = oks[di, gi], gi
-                    if pick == -1:
-                        # pass 2: best available ignored gt
-                        best = min(t, 1 - 1e-10)
+                    # tie contract (pycocotools running-max scan): a
+                    # candidate qualifies at OKS >= min(t, 1-1e-10); on
+                    # equal OKS the LATER gt (in ignored-last order, which
+                    # within one ignore class is original order) wins —
+                    # hence `>=` against the running best.  Crowd gts stay
+                    # available after being matched.
+                    def pick_from(want_ignored):
+                        best, pick = min(t, 1 - 1e-10), -1
                         for gi in range(len(gts)):
-                            if taken[gi] or not gt_ign[gi]:
+                            if bool(gt_ign[gi]) != want_ignored:
                                 continue
-                            if oks[di, gi] > best:
+                            if taken[gi] and not crowd[gi]:
+                                continue
+                            if oks[di, gi] >= best:
                                 best, pick = oks[di, gi], gi
+                        return pick
+                    # pass 1: non-ignored gts; pass 2: ignored gts
+                    pick = pick_from(False)
+                    if pick == -1:
+                        pick = pick_from(True)
                     if pick >= 0:
                         taken[pick] = True
                         res.append((True, gt_ign[pick]))
@@ -251,6 +273,96 @@ def _random_case(seed):
     return gt, dets
 
 
+def _degenerate_case(seed):
+    """Tie-heavy / degenerate draw: everything the real pipeline can emit
+    that the continuous fuzz excludes by construction.
+
+    - scores quantized to 0.1 steps (dense exact ties, incl. cross-image);
+    - exact-duplicate detections (identical keypoints -> identical OKS
+      against every gt: exercises the last-gt-wins + stable-order contract);
+    - zero-area dt boxes (w=0: the all-v=0 fallback emits degenerate
+      boxes);
+    - single-point keypoint rows (all 17 joints on one pixel — the
+      fallback's shape);
+    - crowd gts with 0 labeled keypoints swarmed by several detections
+      (expanded-bbox OKS = 1.0 for all of them -> crowd re-match rule
+      decides FP vs ignored for every extra one).
+    """
+    rng = np.random.RandomState(10_000 + seed)
+    imgs, gt_anns, dets = [], [], []
+    aid = 1
+    for img_id in range(1, 7):
+        imgs.append({"id": img_id, "height": 400, "width": 400,
+                     "file_name": f"{img_id}.jpg"})
+        people = []
+        for _ in range(rng.randint(0, 4)):
+            cx, cy = rng.uniform(60, 340, 2)
+            area = float(rng.choice([rng.uniform(800, 9000),
+                                     rng.uniform(9500, 40000)]))
+            side = float(np.sqrt(area))
+            is_crowd = int(rng.rand() < 0.35)
+            n_lab = 0 if is_crowd else int(rng.choice([0, 9, 17]))
+            kps = np.zeros((17, 3))
+            lab = rng.permutation(17)[:n_lab]
+            kps[lab, 0] = cx + rng.uniform(-side / 2, side / 2, n_lab)
+            kps[lab, 1] = cy + rng.uniform(-side / 2, side / 2, n_lab)
+            kps[lab, 2] = rng.choice([1, 2], n_lab)
+            ann = {"id": aid, "image_id": img_id, "category_id": 1,
+                   "iscrowd": is_crowd, "num_keypoints": n_lab,
+                   "area": area,
+                   "bbox": [cx - side / 2, cy - side / 2, side, side],
+                   "keypoints": kps.reshape(-1).tolist()}
+            gt_anns.append(ann)
+            people.append(ann)
+            aid += 1
+
+        def qscore():
+            return float(rng.randint(1, 11)) / 10.0  # 0.1 .. 1.0 ties
+
+        for ann in people:
+            # several detections per gt; crowds get a swarm
+            n_d = rng.randint(2, 5) if ann["iscrowd"] else rng.randint(0, 3)
+            for _ in range(n_d):
+                if rng.rand() < 0.4:
+                    # single-point row inside the gt bbox (fallback shape)
+                    x = ann["bbox"][0] + rng.uniform(0, ann["bbox"][2])
+                    y = ann["bbox"][1] + rng.uniform(0, ann["bbox"][3])
+                    kp = np.tile([x, y, 1.0], 17).reshape(17, 3)
+                    bw = 0.0 if rng.rand() < 0.5 else rng.uniform(5, 50)
+                    bh = rng.uniform(5, 50)
+                else:
+                    kp = np.array(ann["keypoints"]).reshape(17, 3).copy()
+                    kp[:, :2] += rng.randn(17, 2) * rng.choice([2.0, 25.0])
+                    kp[:, 2] = 1
+                    bw = ann["bbox"][2] * rng.uniform(0.5, 1.5)
+                    bh = ann["bbox"][3] * rng.uniform(0.5, 1.5)
+                d = {"image_id": img_id, "category_id": 1,
+                     "score": qscore(),
+                     "bbox": [float(ann["bbox"][0]), float(ann["bbox"][1]),
+                              float(bw), float(bh)],
+                     "keypoints": kp.reshape(-1).tolist()}
+                dets.append(d)
+                if rng.rand() < 0.3:
+                    # exact duplicate (same score too): pure tie row
+                    dets.append(dict(d))
+        for _ in range(rng.randint(0, 3)):
+            kp = np.zeros((17, 3))
+            kp[:, 0] = rng.uniform(0, 400, 17)
+            kp[:, 1] = rng.uniform(0, 400, 17)
+            kp[:, 2] = 1
+            dets.append({"image_id": img_id, "category_id": 1,
+                         "score": qscore(),
+                         "bbox": [float(rng.uniform(0, 300)),
+                                  float(rng.uniform(0, 300)),
+                                  float(rng.uniform(0, 100)),
+                                  float(rng.uniform(0, 100))],
+                         "keypoints": kp.reshape(-1).tolist()})
+
+    gt = COCOIndex(dataset={"images": imgs, "annotations": gt_anns,
+                            "categories": [{"id": 1, "name": "person"}]})
+    return gt, dets
+
+
 # --------------------------------------------------------------------------
 # tests
 # --------------------------------------------------------------------------
@@ -267,6 +379,64 @@ def test_fuzz_all_ten_stats_match(seed):
     assert set(twin) == set(ours)
     for k in sorted(ours):
         assert ours[k] == pytest.approx(twin[k], abs=1e-9), (seed, k)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_degenerate_ties(seed):
+    """The tie/degenerate regime: quantized scores, duplicate detections,
+    zero-area boxes, single-point rows, multi-detection crowds."""
+    gt, dets = _degenerate_case(seed)
+    if not dets:
+        pytest.skip("empty draw")
+    dt = gt.load_res(dets)
+    ev = KeypointEval(gt, dt)
+    ours = ev.evaluate()
+    twin = _eval_twin(gt, dt, ev.img_ids)
+    assert set(twin) == set(ours)
+    for k in sorted(ours):
+        assert ours[k] == pytest.approx(twin[k], abs=1e-9), (seed, k)
+
+
+def test_crowd_gt_absorbs_multiple_detections():
+    """pycocotools lets a crowd gt be re-matched by ANY number of
+    detections ("if this gt already matched, and not a crowd, continue"):
+    a 0-keypoint crowd's expanded-bbox OKS is 1.0 for every detection
+    inside it, so extra in-crowd detections must be IGNORED, not counted
+    as FPs.  One real person (matched by one detection) + one crowd region
+    swarmed by three detections must therefore score a perfect AP=1."""
+    imgs = [{"id": 1, "height": 400, "width": 400, "file_name": "1.jpg"}]
+    kps = np.zeros((17, 3))
+    kps[:, 0] = np.linspace(210, 260, 17)
+    kps[:, 1] = np.linspace(210, 260, 17)
+    kps[:, 2] = 2
+    anns = [
+        # crowd region, no labeled keypoints
+        {"id": 1, "image_id": 1, "category_id": 1, "iscrowd": 1,
+         "num_keypoints": 0, "area": 10000.0, "bbox": [20, 20, 100, 100],
+         "keypoints": [0.0] * 51},
+        # one real person
+        {"id": 2, "image_id": 1, "category_id": 1, "iscrowd": 0,
+         "num_keypoints": 17, "area": 3600.0, "bbox": [205, 205, 60, 60],
+         "keypoints": kps.reshape(-1).tolist()},
+    ]
+    gt = COCOIndex(dataset={"images": imgs, "annotations": anns,
+                            "categories": [{"id": 1, "name": "person"}]})
+    dets = [{"image_id": 1, "category_id": 1, "score": 0.9,
+             "bbox": [205.0, 205.0, 60.0, 60.0],
+             "keypoints": kps.reshape(-1).tolist()}]
+    for i in range(3):  # swarm inside the crowd, below the real match
+        kp = np.tile([60.0 + 5 * i, 60.0, 1.0], 17)
+        dets.append({"image_id": 1, "category_id": 1, "score": 0.5 - 0.1 * i,
+                     "bbox": [40.0 + 5 * i, 40.0, 50.0, 50.0],
+                     "keypoints": kp.tolist()})
+    dt = gt.load_res(dets)
+    ours = KeypointEval(gt, dt).evaluate()
+    twin = _eval_twin(gt, dt, [1])
+    for k in ours:
+        assert ours[k] == pytest.approx(twin[k], abs=1e-9), k
+    # every in-crowd detection ignored -> no FPs -> perfect precision
+    assert ours["AP"] == pytest.approx(1.0)
+    assert ours["AR"] == pytest.approx(1.0)
 
 
 def test_crowd_and_zero_kp_gts_only_ignored_bucket():
