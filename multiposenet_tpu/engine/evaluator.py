@@ -272,25 +272,9 @@ class Evaluator:
         return self._accum_fold_peaks_jit
 
     def accum_fold_peaks_group_fn(self):
-        """Group variant of `accum_fold_peaks_fn`: the body vmapped over G
-        images that share one scale-shape signature.  `hms` arrive exactly
-        as the batched forwards produce them — (G*nb, s4h, s4w, 18) per
-        scale — and are reshaped to (G, nb, ...) inside the jit (a free
-        leading-dim view) so no extra device dispatch is spent splitting
-        the group."""
-        if getattr(self, "_accum_fold_peaks_group_jit", None) is None:
-            import functools
-            body = self._fused_fold_peaks_body()
-
-            @functools.partial(jax.jit, static_argnums=(4,))
-            def run(hms, mats, h, w, with_flip, inv_n):
-                g = h.shape[0]
-                hms = tuple(hm.reshape((g, -1) + hm.shape[1:]) for hm in hms)
-                return jax.vmap(
-                    lambda hm, mt, hh, ww: body(hm, mt, hh, ww, with_flip,
-                                                inv_n))(hms, mats, h, w)
-            self._accum_fold_peaks_group_jit = run
-        return self._accum_fold_peaks_group_jit
+        """EXPERIMENTAL grouped variant — see engine/grouped_eval.py."""
+        from multiposenet_tpu.engine import grouped_eval
+        return grouped_eval.accum_fold_peaks_group_fn(self)
 
     def _pyramid_fn(self, out_shapes, with_flip: bool):
         """Cached jit building the WHOLE multi-scale image pyramid on device
@@ -309,22 +293,6 @@ class Evaluator:
         key = (tuple(out_shapes), bool(with_flip))
         if key not in jits:
             jits[key] = jax.jit(self._pyramid_body(out_shapes, with_flip))
-        return jits[key]
-
-    def _pyramid_group_fn(self, out_shapes, with_flip: bool):
-        """Group variant of `_pyramid_fn`: vmapped over G same-signature
-        images, each with its own coefficient packs, then flattened to the
-        (G*nb, dh, dw, 3) batches the grouped forwards consume — all in one
-        exec."""
-        jits = self.__dict__.setdefault("_pyramid_jits", {})
-        key = (tuple(out_shapes), bool(with_flip), "group")
-        if key not in jits:
-            body = self._pyramid_body(out_shapes, with_flip)
-
-            def run(srcs, ipacks, wpacks, dims):
-                outs = jax.vmap(body)(srcs, ipacks, wpacks, dims)
-                return tuple(o.reshape((-1,) + o.shape[2:]) for o in outs)
-            jits[key] = jax.jit(run)
         return jits[key]
 
     def _pyramid_body(self, out_shapes, with_flip: bool):
@@ -434,22 +402,6 @@ class Evaluator:
             jnp.asarray(ints), jnp.asarray(flts), jnp.asarray(dims),
             metas))
 
-    def _pyramid_group_args(self, sizes, dests_list, bucket: int,
-                            with_flip: bool):
-        """Stacked (G, ...) device-resident coefficient buffers + per-image
-        metas for a same-signature group, LRU-cached per group composition
-        (after signature sorting most groups are uniform-size, so this hits
-        one entry per common image size)."""
-        keys, packs = zip(*[self._pyramid_args_np(h, w, dests, bucket,
-                                                  with_flip)
-                            for (h, w), dests in zip(sizes, dests_list)])
-        metas = [p[3] for p in packs]
-        return self._lru("_pyramid_group_cache", tuple(keys), lambda: (
-            jnp.asarray(np.stack([p[0] for p in packs])),
-            jnp.asarray(np.stack([p[1] for p in packs])),
-            jnp.asarray(np.stack([p[2] for p in packs]))),
-            maxn=max(1, self._DEV_CACHE_MAX // len(keys))) + (metas,)
-
     def _resize_mats_np(self, key):
         """Host resize-matrix pair for one (scale, original) shape combo,
         LRU-cached (shared source for the single and group device caches)."""
@@ -468,15 +420,9 @@ class Evaluator:
             jnp.asarray(mats[0]), jnp.asarray(mats[1])))
 
     def _resize_mats_group_dev(self, keys):
-        """Stacked (G, hp, s4h)/(G, s4w, wp) device-resident resize matrices
-        for one scale of a group, LRU-cached per group composition (bound
-        scaled down by G — entries are G-stacked)."""
-        def make():
-            mats = [self._resize_mats_np(k) for k in keys]
-            return (jnp.asarray(np.stack([m[0] for m in mats])),
-                    jnp.asarray(np.stack([m[1] for m in mats])))
-        return self._lru("_resize_mat_group_cache", tuple(keys), make,
-                         maxn=max(1, self._DEV_CACHE_MAX // len(keys)))
+        """EXPERIMENTAL grouped variant — see engine/grouped_eval.py."""
+        from multiposenet_tpu.engine import grouped_eval
+        return grouped_eval.resize_mats_group_dev(self, keys)
 
     # ------------------------------------------------------------------
 
@@ -752,20 +698,10 @@ class Evaluator:
                     hp = -(-h // pad_to) * pad_to
                     wp = -(-w // pad_to) * pad_to
                     if use_groups:
-                        ipacks, wpacks, dimss, metas = \
-                            self._pyramid_group_args(
-                                [(h, w)] * gs, [dests] * gs, bucket,
-                                self.cfg.eval.flip)
-                        ckey = ((hp, wp), tuple(mm[0] for mm in metas[0]))
-                        if ckey in warmed:
-                            continue
-                        warmed.add(ckey)
-                        logger.info("precompile pyramid: (%d,%d)->%s x%d",
-                                    hp, wp, ckey[1], gs)
-                        jax.block_until_ready(self._pyramid_group_fn(
-                            ckey[1], self.cfg.eval.flip)(
-                            jnp.zeros((gs, hp, wp, 3), jnp.uint8),
-                            ipacks, wpacks, dimss))
+                        from multiposenet_tpu.engine import grouped_eval
+                        grouped_eval.precompile_grouped_pyramid(
+                            self, h, w, dests, bucket, self.cfg.eval.flip,
+                            gs, hp, wp, warmed)
                         continue
                     ipack, wpack, dims, metas = self._pyramid_host_args(
                         h, w, dests, bucket, self.cfg.eval.flip)
@@ -972,113 +908,25 @@ class Evaluator:
     # ------------------------------------------------------------------
 
     def _use_groups(self) -> bool:
-        """Single source of truth for grouped-dispatch gating — precompile
-        and coco_eval MUST agree or eval cold-compiles a batch size the
-        warmup never saw.  Grouping needs the full device path; warn when
-        group_size>1 is being silently dropped by a host-* flag."""
-        e = self.cfg.eval
-        on = (e.group_size > 1 and e.device_resize and e.device_peaks
-              and e.device_image_resize)
-        if e.group_size > 1 and not on:
-            logger.warning(
-                "group_size=%d ignored: grouped dispatch needs the full "
-                "device path (device_resize/device_peaks/"
-                "device_image_resize); falling back to per-image "
-                "dispatches — a grouped precompile does NOT cover these",
-                e.group_size)
-        return on
+        """EXPERIMENTAL grouped dispatch gate — see engine/grouped_eval.py
+        (measured slower than the pipelined per-image path on v5e,
+        docs/PERF.md; quarantined, default off)."""
+        from multiposenet_tpu.engine import grouped_eval
+        return grouped_eval.use_groups(self)
 
     def _group_signature(self, h: int, w: int, bucket: int):
-        """Scale-shape signature of an image: images with equal signatures
-        share every compiled shape in the device eval path and can ride one
-        batched dispatch (`_dispatch_group_device`)."""
-        pad_to = max(bucket, 1)
-        shapes = tuple(
-            crop_shape_only((h, w), m * h, factor=32, bucket=bucket)[0]
-            for m in get_multipliers(h, self.cfg.eval.inp_size,
-                                     self.cfg.eval.scale_search))
-        return shapes + ((-(-h // pad_to) * pad_to,
-                          -(-w // pad_to) * pad_to),)
+        from multiposenet_tpu.engine import grouped_eval
+        return grouped_eval.group_signature(self, h, w, bucket)
 
     def _dispatch_group_device(self, imgs: List[np.ndarray], bucket: int,
                                with_flip: bool):
-        """Enqueue ALL device work for a GROUP of images sharing one scale-
-        shape signature: ONE batched pyramid exec, one forward per scale at
-        batch G*nb — so each forward's fixed per-exec overhead (~45 ms of
-        parameter-copy spans on this runtime, docs/PERF.md) amortizes over
-        the whole group — and ONE vmapped fused resize+sum+fold+peaks exec.
-        Requires the full device path (device_resize + device_peaks +
-        device_image_resize).  Numerics are identical to G single-image
-        dispatches: batch rows are independent through every stage.
-        Returns an opaque handle for `_fetch_group_device`."""
-        G = len(imgs)
-        nb = 2 if with_flip else 1
-        sizes = [img.shape[:2] for img in imgs]
-        sig = self._group_signature(*sizes[0], bucket)
-        assert all(self._group_signature(h, w, bucket) == sig
-                   for h, w in sizes[1:]), "group signature mismatch"
-        hp, wp = sig[-1]
-        dests_list = [[m * h for m in get_multipliers(
-            h, self.cfg.eval.inp_size, self.cfg.eval.scale_search)]
-            for h, _ in sizes]
-        ipacks, wpacks, dimss, metas = self._pyramid_group_args(
-            sizes, dests_list, bucket, with_flip)
-
-        srcs = np.zeros((G, hp, wp, 3), np.uint8)
-        for g, img in enumerate(imgs):
-            srcs[g, :img.shape[0], :img.shape[1]] = img[:, :, ::-1]
-        shapes = tuple(mm[0] for mm in metas[0])
-        batches = self._pyramid_group_fn(shapes, with_flip)(
-            jnp.asarray(srcs), ipacks, wpacks, dimss)
-
-        hms, mats, det_pending = [], [], []
-        det_idx = det_scale_idx(len(shapes))
-        for s, ((dh, dw), batch) in enumerate(zip(shapes, batches)):
-            wd = (s == det_idx) or not self.cfg.eval.detect_scale1_only
-            out = self.pipeline((dh, dw), with_peaks=False,
-                                with_detections=wd)(self.params, batch)
-            hms.append(out.heatmaps)
-            mats.append(self._resize_mats_group_dev(tuple(
-                (dh // 4, dw // 4, metas[g][s][1][0], metas[g][s][1][1],
-                 sizes[g][0], sizes[g][1], hp, wp) for g in range(G))))
-            det_pending.append(
-                (out.detections if wd else None,
-                 [metas[g][s][2] for g in range(G)]))
-
-        inv_n = jnp.float32(1.0 / len(shapes))
-        hvec = jnp.asarray([h for h, _ in sizes], jnp.int32)
-        wvec = jnp.asarray([w for _, w in sizes], jnp.int32)
-        pk = self.accum_fold_peaks_group_fn()(
-            tuple(hms), tuple(mats), hvec, wvec, with_flip, inv_n)
-        return (pk, det_pending, sizes, nb)
+        from multiposenet_tpu.engine import grouped_eval
+        return grouped_eval.dispatch_group_device(self, imgs, bucket,
+                                                  with_flip)
 
     def _fetch_group_device(self, handle):
-        """One batched device_get for everything `_dispatch_group_device`
-        enqueued; returns a list of per-image `_get_outputs` 4-tuples.
-        Detection-skipped scales (detect_scale1_only) yield empty box
-        lists, matching `_fetch_image_device`."""
-        pk, det_pending, sizes, nb = handle
-        det_items = [(d.scores, d.boxes) for d, _ in det_pending
-                     if d is not None]
-        fetched = jax.device_get(
-            [(pk.coords, pk.scores, pk.valid)] + det_items)
-        coords, scores, valid = fetched[0]
-        outs = []
-        for g in range(len(sizes)):
-            bbox_all = []
-            it = iter(fetched[1:])
-            for d, im_scales in det_pending:
-                if d is None:
-                    bbox_all.append([])
-                    continue
-                dscores, dboxes = next(it)
-                keep = dscores[g * nb] > self.cfg.detection.test_score_thresh
-                bbox_all.append(
-                    (dboxes[g * nb][keep] / im_scales[g]).tolist())
-            peaks = (np.asarray(coords[g]), np.asarray(scores[g]),
-                     np.asarray(valid[g]))
-            outs.append((None, bbox_all, None, peaks))
-        return outs
+        from multiposenet_tpu.engine import grouped_eval
+        return grouped_eval.fetch_group_device(self, handle)
 
     def _finish_image(self, orig_heat, flip_heat, orig_bbox, img_h,
                       name, img_id, peaks=None) -> List[Dict]:
