@@ -20,6 +20,31 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules whose every test is tier-`slow`: the torch/reference oracle
+# differentials (f64 graph builds + full-protocol runs) and the
+# multi-process cluster tests.  These dominate the suite wall time
+# (docs/TESTING.md records the measured split); the quick tier
+# (`pytest -m "not slow"`) is the per-edit feedback loop, the full suite
+# (`pytest tests/ -q`, no filter) is the pre-commit / CI gate.
+SLOW_MODULES = {
+    "test_cocoeval_differential",
+    "test_distributed",
+    "test_export_torch_ckpt",
+    "test_reference_augment_parity",
+    "test_reference_dataset_parity",
+    "test_reference_eval_parity",
+    "test_reference_heatmap_parity",
+    "test_reference_parity",
+    "test_reference_train_parity",
+    "test_torch_parity",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

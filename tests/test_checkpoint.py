@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 from multiposenet_tpu.engine import checkpoint as ckpt_lib
 
@@ -348,6 +349,7 @@ def _reference_torch_keys(blocks):
     return keys
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_full_reference_checkpoint_roundtrip(tmp_path):
     """Convert a COMPLETE synthetic reference checkpoint (every state_dict
     key a real ckpt_baseline_resnet101-style h5 contains, resnet50 sizes)

@@ -124,6 +124,7 @@ def test_build_config_bf16_flag(coco_tree):
     assert build_config(a, "keypoint").model.compute_dtype == jnp.bfloat16
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_load_eval_carries_batch_stats(coco_tree, tmp_path):
     """_load_eval must restore BN running stats, not only params — the
     reference's Tester loads the full state_dict via load_net

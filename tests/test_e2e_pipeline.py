@@ -95,6 +95,7 @@ def _assert_same_results(got, expected):
     assert nonempty >= 2, "too few non-empty images — test is near-vacuous"
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_e2e_matches_per_image_host_path(setup):
     cfg, model, params, imgs = setup
     expected = _host_path_results(cfg, model, params, imgs)
@@ -108,6 +109,7 @@ def test_e2e_matches_per_image_host_path(setup):
     assert any(r["score"] > 0 for img in expected for r in img)
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_sharded_e2e_matches_single_device(setup):
     """Item: mesh-sharded serving. The batch-sharded pipeline over the full
     8-device CPU mesh must produce the same assignments as the unsharded
@@ -129,6 +131,7 @@ def test_sharded_e2e_matches_single_device(setup):
     _assert_same_results(r1, r0)
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_batch_predictor_mesh(setup):
     """BatchPredictor(mesh=...) shards each serving batch over the mesh and
     returns the same people as the single-device predictor."""

@@ -148,6 +148,7 @@ def test_coco_eval_machinery(synthetic_coco):
     assert metrics["AR"] > 0.99, metrics
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_keypoint_overfit_recovers_peaks():
     """Train the real keypoint subnet on one batch; the inference pipeline
     must find the planted joints afterwards."""

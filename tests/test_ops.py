@@ -366,6 +366,7 @@ def test_cubic_resize_matrix_matches_cv2():
         np.testing.assert_allclose(got, ref, atol=2e-6)
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_heatmap_resize_mats_match_reference_chain():
     """Composed matrices == the host x4-bicubic -> crop -> resize chain
     (reference tester.py:299-305), with zeroed padding rows/cols."""

@@ -370,9 +370,12 @@ def test_multiscale_heat_average_matches_reference(bundle, monkeypatch):
 # THE full coco_eval protocol, reference Tester.coco_eval vs our Evaluator
 # ---------------------------------------------------------------------------
 
-def _make_synthetic_coco(root, rng, n_images=3, hw=(100, 80)):
+def _make_synthetic_coco(root, rng, n_images=3, hw=(100, 80), n_people=2):
     """Tiny val2017-shaped dataset on disk (same size for every image so
-    each stack compiles one padded shape set)."""
+    each stack compiles one padded shape set).  `n_people` > ~4 makes the
+    scenes CROWDED: boxes overlap heavily, peaks from different people
+    collide inside each other's PRN crops, and the greedy assignment's
+    contested branches all fire."""
     import cv2
     import json
 
@@ -387,7 +390,7 @@ def _make_synthetic_coco(root, rng, n_images=3, hw=(100, 80)):
         name = f"{i:012d}.jpg"
         cv2.imwrite(os.path.join(img_dir, name), img)
         images.append({"id": i, "height": h, "width": w, "file_name": name})
-        for _ in range(2):
+        for _ in range(n_people):
             cx = float(rng.uniform(20, w - 20))
             cy = float(rng.uniform(25, h - 25))
             kps = []
@@ -404,19 +407,11 @@ def _make_synthetic_coco(root, rng, n_images=3, hw=(100, 80)):
                    "categories": [{"id": 1, "name": "person"}]}, f)
 
 
-def test_full_coco_eval_protocol_matches_reference(bundle, tmp_path):
-    """Run the reference's ENTIRE Tester.coco_eval (tester.py:130-193) —
-    multi-scale + flip forwards, heatmap averaging, peak finding, neck
-    drop, PRN grouping, COCO reorder, loadRes, OKS scoring — against our
-    Evaluator.coco_eval on the same oracle weights and images, and demand
-    result-level AND AP-table agreement.
-
-    pycocotools is absent, so the reference's COCO/COCOeval symbols are
-    bound to OUR COCOIndex (its pycocotools-compatible API incl. loadRes)
-    and an adapter over OUR KeypointEval — both sides therefore score
-    through one scorer and the AP comparison isolates the result lists.
-    The hard-coded thre1=0.1 (tester.py:157) is lifted to the bundle's
-    calibrated operating point on both sides."""
+def _run_full_protocol_differential(bundle, tmp_path, rng, n_images, hw,
+                                    n_people):
+    """Body of the full-protocol differential (see
+    test_full_coco_eval_protocol_matches_reference) for one dataset
+    configuration."""
     import cv2
     import json
     import types
@@ -424,9 +419,9 @@ def test_full_coco_eval_protocol_matches_reference(bundle, tmp_path):
     from multiposenet_tpu.data.coco_json import COCOIndex
     from multiposenet_tpu.eval.cocoeval import KeypointEval
 
-    rng = oracle_rng(21)
     root = str(tmp_path / "coco")
-    _make_synthetic_coco(root, rng)
+    _make_synthetic_coco(root, rng, n_images=n_images, hw=hw,
+                         n_people=n_people)
 
     captured = {}
 
@@ -495,6 +490,37 @@ def test_full_coco_eval_protocol_matches_reference(bundle, tmp_path):
 
     for k, v in captured["ref_metrics"].items():
         np.testing.assert_allclose(our_metrics[k], v, atol=1e-6, err_msg=k)
+
+
+def test_full_coco_eval_protocol_matches_reference(bundle, tmp_path):
+    """Run the reference's ENTIRE Tester.coco_eval (tester.py:130-193) —
+    multi-scale + flip forwards, heatmap averaging, peak finding, neck
+    drop, PRN grouping, COCO reorder, loadRes, OKS scoring — against our
+    Evaluator.coco_eval on the same oracle weights and images, and demand
+    result-level AND AP-table agreement.
+
+    pycocotools is absent, so the reference's COCO/COCOeval symbols are
+    bound to OUR COCOIndex (its pycocotools-compatible API incl. loadRes)
+    and an adapter over OUR KeypointEval — both sides therefore score
+    through one scorer and the AP comparison isolates the result lists.
+    The hard-coded thre1=0.1 (tester.py:157) is lifted to the bundle's
+    calibrated operating point on both sides."""
+    _run_full_protocol_differential(bundle, tmp_path, oracle_rng(21),
+                                    n_images=3, hw=(100, 80), n_people=2)
+
+
+@pytest.mark.parametrize("hw,n_people",
+                         [((100, 80), 6), ((144, 112), 7)])
+def test_full_protocol_crowded_scenes(bundle, tmp_path, hw, n_people):
+    """The same end-to-end protocol differential on CROWDED multi-person
+    scenes at two additional input sizes (the sparse 2-person case above is
+    the third): 6-7 heavily overlapping people per image force contested
+    peak-to-person assignments, cross-person peaks inside each PRN crop,
+    cell collisions, and maxDets-relevant result counts — the regime where
+    the reference's grouping quirks (tester.py:431-483) actually bite."""
+    _run_full_protocol_differential(bundle, tmp_path,
+                                    oracle_rng(23 + n_people),
+                                    n_images=2, hw=hw, n_people=n_people)
 
 
 # ---------------------------------------------------------------------------

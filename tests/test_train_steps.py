@@ -67,6 +67,7 @@ def _keypoint_batch(b=2, size=96):
             "mask": jnp.asarray(m)}
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_keypoint_train_step_decreases_loss_and_freezes(setup):
     cfg, model, state, tx, mask = setup
     train_step, val_step = make_keypoint_steps(model, cfg, tx, mask)
@@ -95,6 +96,7 @@ def test_keypoint_train_step_decreases_loss_and_freezes(setup):
     assert np.isfinite(float(v["loss"]))
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_detection_train_step_runs():
     cfg = tiny_config()
     model = PoseNet(cfg.model)
@@ -142,6 +144,7 @@ def test_prn_train_step_runs():
     assert np.isfinite(float(val_step(state, batch)["loss"]))
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_detection_and_prn_steps_on_8_device_mesh():
     """Detection and PRN stages also run data-parallel over the mesh."""
     assert jax.device_count() >= 8
@@ -180,6 +183,7 @@ def test_detection_and_prn_steps_on_8_device_mesh():
     assert np.isfinite(float(logs["loss"]))
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_sharded_inference_pipeline_on_mesh():
     """DP inference: replicated params, batch-sharded images."""
     assert jax.device_count() >= 8
@@ -201,6 +205,7 @@ def test_sharded_inference_pipeline_on_mesh():
     assert not out.heatmaps.sharding.is_fully_replicated  # stays sharded
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_keypoint_step_on_8_device_mesh():
     """Data-parallel train step over the virtual 8-device CPU mesh."""
     assert jax.device_count() >= 8

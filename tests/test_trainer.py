@@ -46,6 +46,7 @@ def test_plateau_scheduler_semantics():
     assert lrs == [1.0, 1.0, 1.0, 1.0, 0.5, 0.5]
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_sigterm_checkpoints_and_exits(tmp_path):
     cfg = _cfg(tmp_path)
     loader = Loader(SynthDS(), batch_size=8, num_workers=1)
@@ -64,6 +65,7 @@ def test_sigterm_checkpoints_and_exits(tmp_path):
     signal.signal(signal.SIGINT, signal.default_int_handler)
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_auto_resume_roundtrip(tmp_path):
     cfg = _cfg(tmp_path)
     loader = Loader(SynthDS(), batch_size=8, num_workers=1)
@@ -79,6 +81,7 @@ def test_auto_resume_roundtrip(tmp_path):
     assert t2.global_step == int(t2.state.step)
 
 
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_three_stage_chain_partial_init_and_freeze(tmp_path):
     """The reference's staged recipe end-to-end (multipose_keypoint_train ->
     multipose_detection_train -> multipose_prn_train): each stage starts
