@@ -229,9 +229,13 @@ def cmd_coco_eval(args):
                      "(merge shards with `cli merge-results`)")
     _, ev = _load_eval(args)
     _apply_eval_flags(ev, args)
-    ev.coco_eval(max_images=args.max_images,
-                 result_file=args.result_file, bucket=args.bucket,
-                 shard=shard, skip_metrics=shard != (0, 1))
+    metrics = ev.coco_eval(max_images=args.max_images,
+                           result_file=args.result_file, bucket=args.bucket,
+                           shard=shard, skip_metrics=shard != (0, 1))
+    if args.metrics_file and metrics:
+        import json
+        with open(args.metrics_file, "w") as f:
+            json.dump(metrics, f, indent=2)
 
 
 def cmd_merge_results(args):
@@ -365,6 +369,9 @@ def main(argv=None):
     _common(pc)
     pc.add_argument("--max-images", type=int, default=None)
     pc.add_argument("--result-file", default=None)
+    pc.add_argument("--metrics-file", default=None,
+                    help="write the 10-stat AP/AR summary as JSON (e.g. for "
+                         "the synthetic-E2E regression gate's AP floor)")
     pc.add_argument("--bucket", type=int, default=64,
                     help="shape-bucketing granularity; must match the value "
                          "used with `precompile`")

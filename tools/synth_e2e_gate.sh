@@ -1,0 +1,67 @@
+#!/bin/bash
+# FAST synthetic end-to-end regression gate (~15 min on one v5e chip, warm
+# compile cache): the full 3-stage staged-training recipe + 5-scale+flip
+# coco-eval, shrunk (resnet50, 240^2/320^2, 128 train / 16 val images) and
+# ASSERTING an OKS AP floor on the synthetic val split.
+#
+# This is the runnable-every-round distillation of tools/train_synth_e2e.sh
+# (resnet101, 480^2, ~143 min, scored AP 0.863): it exercises the exact
+# bug class that run caught — staged checkpoint init (params + BN running
+# stats), freeze masks, LR plateau, the eval protocol — and fails loudly
+# if any regresses.  The reference's analogous oracle is its published AP
+# table (README.md:38-51), which needs real COCO; this needs nothing but
+# the repo.
+#
+# Usage: tools/synth_e2e_gate.sh [DATA_ROOT] [SAVE_DIR] [AP_FLOOR]
+# Exit 0 iff every stage trains AND final AP >= AP_FLOOR (default 0.5).
+set -u
+ROOT=${1:-/tmp/mpn_gate_coco}
+SAVE=${2:-/tmp/mpn_gate_models}
+FLOOR=${3:-0.5}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+export PYTHONPATH=$REPO:${PYTHONPATH:-}
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
+cd "$REPO"
+
+[ -f "$ROOT/COCO.json" ] || python tools/make_synth_pose_dataset.py \
+    --root "$ROOT" --n-train 128 --n-val 16 --width 320 --height 240 || exit 1
+
+# newest best-copy = lowest val loss; sort on the BASENAME (the save dir
+# path may itself contain underscores and would shift the sort field)
+best() { ls "$SAVE/$1" | grep '\.best$' | sort -t_ -k2 -n | tail -1 \
+         | sed "s|^|$SAVE/$1/|"; }
+
+# stage 1: keypoint subnet (shrunk from the reference recipe,
+# multipose_keypoint_train.py:107-113)
+python -m multiposenet_tpu.cli train --subnet keypoint \
+  --coco-root "$ROOT" --backbone resnet50 --bf16 --inp-size 240 \
+  --batch-size 16 --max-epoch 30 --num-workers 4 \
+  --save-dir "$SAVE" --exp-name kp || exit 1
+
+# stage 2: detection subnet from the stage-1 best checkpoint — exercises
+# the params+batch_stats staged restore (the round-2 BN bug's trigger)
+python -m multiposenet_tpu.cli train --subnet detection \
+  --coco-root "$ROOT" --backbone resnet50 --bf16 --inp-size 320 \
+  --batch-size 8 --lr 1e-4 --max-epoch 16 --num-workers 4 \
+  --save-dir "$SAVE" --exp-name det --init-params "$(best kp)" || exit 1
+
+# stage 3: PRN
+python -m multiposenet_tpu.cli train --subnet prn \
+  --coco-root "$ROOT" --backbone resnet50 \
+  --batch-size 8 --lr 1e-3 --max-epoch 12 --num-workers 4 \
+  --save-dir "$SAVE" --exp-name prn --init-params "$(best det)" || exit 1
+
+# full multi-scale + flip protocol on the synthetic val split + AP floor
+python -m multiposenet_tpu.cli coco-eval \
+  --coco-root "$ROOT" --backbone resnet50 --ckpt "$(best prn)" \
+  --result-file "$SAVE/gate_results.json" \
+  --metrics-file "$SAVE/gate_metrics.json" || exit 1
+
+python - "$SAVE/gate_metrics.json" "$FLOOR" <<'EOF' || exit 1
+import json, sys
+m = json.load(open(sys.argv[1])); floor = float(sys.argv[2])
+ap = m.get("AP", -1.0)
+ok = ap >= floor
+print(f"synth-E2E gate: AP={ap:.3f} floor={floor} -> {'PASS' if ok else 'FAIL'}")
+sys.exit(0 if ok else 1)
+EOF
