@@ -355,20 +355,20 @@ def make_prn_pipeline(model: PoseNet, cfg: Config):
         x0 = jnp.clip(jnp.trunc((px - bx) * x_scale).astype(jnp.int32), 0, gw - 1)
         y0 = jnp.clip(jnp.trunc((py - by) * y_scale).astype(jnp.int32), 0, gh - 1)
 
-        # scatter peak markers into (B, gh, gw, J) grids.  Measured on v5e:
-        # XLA's scatter-max + separable blur runs ~27us/call; the
-        # "scatter-free" one-hot MXU contraction + dense blur matmuls is
-        # >10x SLOWER (~500us — 544 tiny 56x32@32x36 matmuls pad terribly
-        # to MXU tiles), so the scatter formulation stays (equivalence
-        # tests: tests/test_ops.py::test_onehot_contraction_*).
-        b_idx = jnp.broadcast_to(jnp.arange(num_b)[:, None, None], inside.shape)
-        j_idx = jnp.broadcast_to(jnp.arange(num_j)[None, :, None], inside.shape)
-        y_sc = jnp.where(inside, y0, 0)
-        x_sc = jnp.where(inside, x0, 0)
-        marks = jnp.zeros((num_b, gh, gw, num_j), jnp.float32)
-        marks = marks.at[
-            b_idx.ravel(), y_sc.ravel(), x_sc.ravel(), j_idx.ravel()
-        ].max(inside.astype(jnp.float32).ravel())
+        # build the (B, gh, gw, J) mark grids as a one-hot MXU contraction.
+        # A scatter-max formulation is fine dispatched per image (27us/call
+        # standalone) but under the batch-64 fused e2e graph TPU executes
+        # the batched scatter serially (measured 6.4 ms/exec) plus layout
+        # copies around it; the 0/1 one-hot contraction runs on the MXU and
+        # min(.,1) reproduces the max-dedupe exactly (equivalence tests:
+        # tests/test_ops.py::test_onehot_contraction_*).
+        hi = jax.lax.Precision.HIGHEST  # 0/1 selectors: no bf16 truncation
+        insf = inside.astype(jnp.float32)
+        oh_y = (y0[..., None] == jnp.arange(gh)).astype(jnp.float32)
+        oh_x = (x0[..., None] == jnp.arange(gw)).astype(jnp.float32)
+        cnt = jnp.einsum("bjpy,bjpx->byxj", oh_y * insf[..., None], oh_x,
+                         precision=hi)
+        marks = jnp.minimum(cnt, 1.0)
 
         # gaussian-blur each person grid (tester.py:396-398, sigma=1 'nearest')
         grids = gaussian_blur(marks, sigma=1.0, mode="nearest")
@@ -377,20 +377,23 @@ def make_prn_pipeline(model: PoseNet, cfg: Config):
 
         # score each marked peak: sum over a clipped NxN window of the PRN
         # output around the peak cell, times the peak score (tester.py:410-429).
-        # Implemented via a 2-D summed-area table: O(1) per peak.
-        sat = jnp.cumsum(jnp.cumsum(prn_out, axis=1), axis=2)
-        sat = jnp.pad(sat, ((0, 0), (1, 0), (1, 0), (0, 0)))  # (B, gh+1, gw+1, J)
-
+        # The window sum is a masked row/column contraction — a summed-area
+        # table + 4 corner gathers is O(1) per peak on paper, but each
+        # batched corner gather executes as ~700k serialized scalar loads
+        # on TPU (measured 4 x 14 ms/exec at batch 64); the interval-mask
+        # einsum pair is ~3 GFLOPs of MXU work instead, and sums the window
+        # directly like the reference's np.sum (no SAT cancellation).
         y1 = jnp.clip(y0 - half, 0, gh)
         y2 = jnp.clip(y0 + half + 1, 0, gh)
         x1 = jnp.clip(x0 - half, 0, gw)
         x2 = jnp.clip(x0 + half + 1, 0, gw)
-
-        def window_sum(b, j, yy1, yy2, xx1, xx2):
-            return (sat[b, yy2, xx2, j] - sat[b, yy1, xx2, j]
-                    - sat[b, yy2, xx1, j] + sat[b, yy1, xx1, j])
-
-        ws = window_sum(b_idx, j_idx, y1, y2, x1, x2)  # (B, J, P)
+        ry = ((jnp.arange(gh) >= y1[..., None]) &
+              (jnp.arange(gh) < y2[..., None])).astype(jnp.float32)  # (B,J,P,gh)
+        cx = ((jnp.arange(gw) >= x1[..., None]) &
+              (jnp.arange(gw) < x2[..., None])).astype(jnp.float32)  # (B,J,P,gw)
+        t = jnp.einsum("bjpy,byxj->bjpx", ry,
+                       prn_out.astype(jnp.float32), precision=hi)
+        ws = jnp.einsum("bjpx,bjpx->bjp", t, cx, precision=hi)
         table = jnp.where(inside, ws * peak_score[None], 0.0)
         return table, inside, prn_out, x0, y0
 

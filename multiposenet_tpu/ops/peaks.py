@@ -66,6 +66,50 @@ class PeakSet(NamedTuple):
     valid: jnp.ndarray   # (J, P) bool
 
 
+def _topk_hierarchical(flat: jnp.ndarray, k: int,
+                       seg_len: int = 225) -> tuple:
+    """Exact drop-in for ``jax.lax.top_k(flat, k)`` on long rows, ~3x faster
+    on TPU.
+
+    XLA lowers a single top_k over N=14400 to a FULL variadic (f32, s32)
+    sort — measured 18 ms/exec at batch 64 on v5e (~14% of the whole detect
+    graph).  Sorting cost scales ~log^2(padded segment length), so two
+    phases (per-segment top-k, then top-k over the k*num_seg candidates)
+    do the same selection with much shorter sorts.
+
+    EXACTNESS (incl. tie order): lax.top_k orders equal values by ascending
+    index.  Phase 1 keeps each segment's top-k (any global top-k element is
+    in its segment's top-k), with in-segment ties ascending; candidates are
+    concatenated segment-major, so equal values across segments also appear
+    in ascending global index order, and phase 2's stable selection
+    reproduces the single-phase result element-for-element.  For the -1
+    fill rows the peak finder feeds this (fewer than k real entries, all
+    other cells exactly -1), the fill slots also match: the needed
+    (k - n_real) fill indices are the globally smallest non-peak cells,
+    which all sit in segment 0 (segment length >= 2k), and phase 1 keeps
+    exactly those.  Property-tested against lax.top_k in
+    tests/test_ops.py::test_topk_hierarchical_*.
+    """
+    j, n = flat.shape
+    if n % seg_len or seg_len < 2 * k:
+        # pad to a multiple; -inf pads sort last so exactness holds
+        num_seg = max(1, n // max(seg_len, 2 * k))
+        seg_len = -(-n // num_seg)
+        pad = num_seg * seg_len - n
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, pad)),
+                           constant_values=-jnp.inf)
+    num_seg = flat.shape[1] // seg_len
+    if num_seg <= 1:
+        return jax.lax.top_k(flat[:, :n], k)
+    v = flat.reshape(j, num_seg, seg_len)
+    v1, i1 = jax.lax.top_k(v, k)                       # (J, S, k)
+    gi = i1 + (jnp.arange(num_seg, dtype=i1.dtype) * seg_len)[None, :, None]
+    v2, sel = jax.lax.top_k(v1.reshape(j, num_seg * k), k)
+    idx = jnp.take_along_axis(gi.reshape(j, num_seg * k), sel, axis=1)
+    return v2, idx
+
+
 def find_peaks_refined(
     heatmaps: jnp.ndarray,
     thre1: float = 0.1,
@@ -96,7 +140,7 @@ def find_peaks_refined(
     is_peak = (hm == cross_max) & (hm > thre1)
 
     flat = jnp.where(is_peak, hm, -1.0).reshape(num_j, h * w)
-    top_scores, top_idx = jax.lax.top_k(flat, max_peaks)      # (J, P)
+    top_scores, top_idx = _topk_hierarchical(flat, max_peaks)  # (J, P)
     valid = top_scores > thre1
     py = (top_idx // w).astype(jnp.int32)
     px = (top_idx % w).astype(jnp.int32)
@@ -115,16 +159,21 @@ def find_peaks_refined(
     wy = jnp.clip(py - win_size, 0, h - s)   # window starts
     wx = jnp.clip(px - win_size, 0, w - s)
 
-    # gather ALL (J, P) 5x5 patches in one flat take_along_axis, then
-    # upsample them with one batched einsum pair — thousands of per-peak
-    # dynamic_slice + tiny-matmul ops fuse into two MXU-friendly contractions
+    # extract ALL (J, P) 5x5 patches as two one-hot contractions instead of
+    # a flat element gather: TPU executes a random-access gather of
+    # J*P*s*s elements as serialized scalar loads (measured 13 ms/exec at
+    # batch 64 — 2nd-largest op in the whole detect graph), while one-hot
+    # row/column selection runs on the MXU.  Products are 0/1 times the
+    # heatmap value and each output sums exactly one nonzero, so with
+    # HIGHEST precision (no bf16 operand truncation) the result is
+    # bit-exact with the gather.
+    hi = jax.lax.Precision.HIGHEST  # parity: tiny matrices, f32 exactness
     iy = wy[..., None] + jnp.arange(s)                      # (J, P, s)
     ix = wx[..., None] + jnp.arange(s)
-    flat_idx = (iy[:, :, :, None] * w + ix[:, :, None, :]).reshape(num_j, -1)
-    patches = jnp.take_along_axis(hm.reshape(num_j, h * w), flat_idx,
-                                  axis=1).reshape(num_j, max_peaks, s, s)
-
-    hi = jax.lax.Precision.HIGHEST  # parity: tiny matrices, f32 exactness
+    oh_y = (iy[..., None] == jnp.arange(h)).astype(hm.dtype)  # (J, P, s, H)
+    oh_x = (ix[..., None] == jnp.arange(w)).astype(hm.dtype)  # (J, P, s, W)
+    rows = jnp.einsum("jpah,jhw->jpaw", oh_y, hm, precision=hi)
+    patches = jnp.einsum("jpaw,jpbw->jpab", rows, oh_x, precision=hi)
     up = jnp.einsum("ab,jpbc->jpac", m, patches, precision=hi)
     up = jnp.einsum("jpac,dc->jpad", up, m, precision=hi)    # (J, P, sf, sf)
 

@@ -294,6 +294,49 @@ def test_find_peaks_plateau_and_capacity():
     assert np.all(np.asarray(ps.scores)[0, :3] >= 0.6 - 1e-6)
 
 
+@pytest.mark.parametrize("regime", ["continuous", "quantized", "peaklike"])
+def test_topk_hierarchical_equals_lax_topk(regime, rng):
+    """_topk_hierarchical must reproduce lax.top_k ELEMENT-FOR-ELEMENT —
+    values AND indices — including tie order (equal values -> ascending
+    index) and the -1-fill regime the peak finder feeds it (fewer real
+    entries than k, every other cell exactly -1)."""
+    import jax
+
+    from multiposenet_tpu.ops.peaks import _topk_hierarchical
+
+    for trial in range(8):
+        j, n, k = 5, 1440, 32
+        if regime == "continuous":
+            x = rng.randn(j, n).astype(np.float32)
+        elif regime == "quantized":
+            # heavy exact ties across and within segments
+            x = rng.randint(0, 4, (j, n)).astype(np.float32)
+        else:
+            # peak-finder shape: sparse positives on a -1 background,
+            # including rows with FEWER than k entries above the fill
+            x = np.full((j, n), -1.0, np.float32)
+            for row in range(j):
+                npk = int(rng.randint(0, 2 * k))
+                pos = rng.choice(n, size=npk, replace=False)
+                x[row, pos] = rng.rand(npk).astype(np.float32)
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(x), k)
+        got_v, got_i = _topk_hierarchical(jnp.asarray(x), k, seg_len=96)
+        np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+
+
+def test_topk_hierarchical_pads_non_divisible(rng):
+    import jax
+
+    from multiposenet_tpu.ops.peaks import _topk_hierarchical
+
+    x = rng.randn(3, 997).astype(np.float32)  # 997 % 96 != 0 -> pad path
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(x), 16)
+    got_v, got_i = _topk_hierarchical(jnp.asarray(x), 16, seg_len=96)
+    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+
+
 def test_blur_matrix_equals_separable_gaussian_blur():
     """blur_matrix folds the scipy-'nearest' separable blur into dense
     operators — must match ops.gaussian.gaussian_blur exactly."""

