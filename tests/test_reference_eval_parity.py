@@ -162,14 +162,64 @@ def _grouping_case(rng, n_people, joint_types, img_wh=(300.0, 300.0)):
     return rows, boxes
 
 
-def _compare_results(ref_results, our_results, bbox_atol=1e-6, kp_atol=1e-5):
+def _our_prn_grids(bundle, rows, boxes):
+    """Our device PRN output grids (n_boxes, gh, gw, 17) for one grouping
+    case — used by the tie-aware fallback comparison below."""
+    import jax.numpy as jnp
+
+    from multiposenet_tpu.engine.inference import make_prn_pipeline
+
+    cfg = bundle.cfg
+    prn = make_prn_pipeline(bundle.model, cfg)
+    num_j, num_p = 17, cfg.peaks.max_peaks_per_joint
+    peak_xy = np.zeros((num_j, num_p, 2), np.float32)
+    peak_score = -np.ones((num_j, num_p), np.float32)
+    peak_valid = np.zeros((num_j, num_p), bool)
+    fill = {j: 0 for j in range(num_j)}
+    for x, y, s, pid, j in rows:
+        k = fill[int(j)]
+        fill[int(j)] += 1
+        peak_xy[int(j), k] = (x, y)
+        peak_score[int(j), k] = 1.0
+        peak_valid[int(j), k] = True
+    maxb = cfg.prn.max_people
+    bx = np.zeros((maxb, 4), np.float32)
+    bv = np.zeros((maxb,), bool)
+    for k, (x1, y1, x2, y2) in enumerate(boxes):
+        bx[k] = (x1, y1, x2 - x1, y2 - y1)
+        bv[k] = True
+    _, _, prn_out, _, _ = prn(dict(bundle.variables), jnp.asarray(peak_xy),
+                              jnp.asarray(peak_score), jnp.asarray(peak_valid),
+                              jnp.asarray(bx), jnp.asarray(bv))
+    return np.asarray(prn_out)[:len(boxes)]
+
+
+def _fallback_tie_ok(grid_ch, box_xywh, ref_xy, our_xy, rel=1e-3):
+    """True iff the reference's fallback cell VALUE ties our argmax on OUR
+    PRN grid — the far-flip acceptance test for v=0 entries (see the
+    comment in _compare_results)."""
+    gh, gw = grid_ch.shape
+    bx, by, bw, bh = box_xywh
+
+    def cell(xy):
+        cx = int(round((xy[0] - bx) * gw / np.ceil(bw)))
+        cy = int(round((xy[1] - by) * gh / np.ceil(bh)))
+        return min(max(cy, 0), gh - 1), min(max(cx, 0), gw - 1)
+
+    rv = grid_ch[cell(ref_xy)]
+    ov = grid_ch[cell(our_xy)]
+    return abs(rv - ov) <= rel * max(abs(rv), abs(ov))
+
+
+def _compare_results(ref_results, our_results, bbox_atol=1e-6, kp_atol=1e-5,
+                     prn_grids=None):
     """kp_atol applies to assigned (v=1) keypoints — exact when both sides
     are fed identical peak lists; when each side finds peaks from its OWN
     forward, sub-pixel refinement has a 1px granularity at stride 4 so a
     near-tie in the upsampled patch argmax can shift a coordinate one
     notch (pass kp_atol=1.01 for those paths)."""
     assert len(ref_results) == len(our_results)
-    for r, o in zip(ref_results, our_results):
+    for box_i, (r, o) in enumerate(zip(ref_results, our_results)):
         assert r["image_id"] == o["image_id"]
         assert r["category_id"] == o["category_id"]
         np.testing.assert_allclose(o["bbox"], r["bbox"], atol=bbox_atol)
@@ -185,10 +235,25 @@ def _compare_results(ref_results, our_results, bbox_atol=1e-6, kp_atol=1e-5):
         # each framework's f32 conv noise resolves independently — the
         # coordinate then moves by exactly ONE grid-cell pitch (observed
         # at fuzz seed 3: dy = box_h/56 on 12 entries, x bit-equal).
-        # Tolerance = 2 px covers one-cell flips at the case's box sizes;
-        # a coordinate-MAPPING bug displaces by half a box (tens of px)
-        np.testing.assert_allclose(ok[rk[:, 2] == 0], rk[rk[:, 2] == 0],
-                                   atol=2.0)
+        # Tolerance = 2 px covers one-cell flips at the case's box sizes.
+        # On channels with NO planted peaks (absent joint types) the
+        # softmax is near-uniform and the GLOBAL argmax itself is a razor
+        # tie between far-apart cells (observed at fuzz seed 4: top-2 gap
+        # 8.6e-10 on channel 13, ref's pick == our #2) — those far flips
+        # are accepted iff the reference's cell VALUE ties our argmax on
+        # OUR grid (rel 1e-3), which a coordinate-MAPPING bug (displacing
+        # by half a box into an arbitrary-valued cell) would fail.
+        far = np.abs(ok[:, :2] - rk[:, :2]).max(axis=1) > 2.0
+        for j in np.where((rk[:, 2] == 0) & far)[0]:
+            assert prn_grids is not None, (
+                f"joint {j}: fallback xy {ok[j, :2]} vs ref {rk[j, :2]} "
+                f"beyond 2 px and no PRN grids passed for tie checking")
+            assert _fallback_tie_ok(prn_grids[box_i][:, :, j], o["bbox"],
+                                    rk[j, :2], ok[j, :2]), (
+                f"joint {j}: fallback xy {ok[j, :2]} vs ref {rk[j, :2]} "
+                f"is NOT a PRN-value tie — real divergence")
+        near = (rk[:, 2] == 0) & ~far
+        np.testing.assert_allclose(ok[near], rk[near], atol=2.0)
 
 
 def test_prn_process_matches_reference(bundle):
@@ -206,7 +271,8 @@ def test_prn_process_matches_reference(bundle):
                 [list(r) for r in rows], [list(b) for b in boxes], "f", i)
             ours = bundle.evaluator.prn_process(
                 [list(r) for r in rows], [list(b) for b in boxes], "f", i)
-            _compare_results(ref, ours)
+            _compare_results(ref, ours,
+                             prn_grids=_our_prn_grids(bundle, rows, boxes))
 
 
 def test_prn_process_empty_inputs_match(bundle):
