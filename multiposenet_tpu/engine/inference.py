@@ -362,12 +362,14 @@ def make_prn_pipeline(model: PoseNet, cfg: Config):
         # copies around it; the 0/1 one-hot contraction runs on the MXU and
         # min(.,1) reproduces the max-dedupe exactly (equivalence tests:
         # tests/test_ops.py::test_onehot_contraction_*).
-        hi = jax.lax.Precision.HIGHEST  # 0/1 selectors: no bf16 truncation
+        hi = jax.lax.Precision.HIGHEST
         insf = inside.astype(jnp.float32)
         oh_y = (y0[..., None] == jnp.arange(gh)).astype(jnp.float32)
         oh_x = (x0[..., None] == jnp.arange(gw)).astype(jnp.float32)
-        cnt = jnp.einsum("bjpy,bjpx->byxj", oh_y * insf[..., None], oh_x,
-                         precision=hi)
+        # default precision is EXACT here: operands are 0/1 (no bf16
+        # truncation possible) and the MXU accumulates in f32, so the
+        # integer counts (<= P) are exact without HIGHEST's extra passes
+        cnt = jnp.einsum("bjpy,bjpx->byxj", oh_y * insf[..., None], oh_x)
         marks = jnp.minimum(cnt, 1.0)
 
         # gaussian-blur each person grid (tester.py:396-398, sigma=1 'nearest')

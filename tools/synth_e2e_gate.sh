@@ -1,8 +1,10 @@
 #!/bin/bash
-# FAST synthetic end-to-end regression gate (~15 min on one v5e chip, warm
-# compile cache): the full 3-stage staged-training recipe + 5-scale+flip
-# coco-eval, shrunk (resnet50, 240^2/320^2, 128 train / 16 val images) and
-# ASSERTING an OKS AP floor on the synthetic val split.
+# Synthetic end-to-end regression gate: the full 3-stage staged-training
+# recipe + 5-scale+flip coco-eval, shrunk (resnet50, 240^2/320^2, 128
+# train / 16 val images) and ASSERTING an OKS AP floor on the synthetic
+# val split.  Measured round 3 on the tunneled v5e: PASS, AP=0.630, ~95
+# min wall COLD (per-shape remote compiles dominate; a warm
+# JAX_COMPILATION_CACHE_DIR cuts it to roughly a third).
 #
 # This is the runnable-every-round distillation of tools/train_synth_e2e.sh
 # (resnet101, 480^2, ~143 min, scored AP 0.863): it exercises the exact
