@@ -27,9 +27,9 @@ from multiposenet_tpu.config import Config
 from multiposenet_tpu.models.posenet import PoseNet
 from multiposenet_tpu.ops.anchors import anchors_for_shape
 from multiposenet_tpu.ops.boxes import clip_boxes, decode_boxes
-from multiposenet_tpu.ops.gaussian import gaussian_blur
+from multiposenet_tpu.ops.gaussian import blur_matrix
 from multiposenet_tpu.ops.nms import batched_topk_nms, NMSResult
-from multiposenet_tpu.ops.peaks import find_peaks_refined, PeakSet
+from multiposenet_tpu.ops.peaks import find_peaks_refined_batched, PeakSet
 
 # ImageNet statistics (reference datasets/coco_data/preprocessing.py:15-26)
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -103,12 +103,12 @@ def make_full_pipeline(model: PoseNet, cfg: Config, image_hw: Tuple[int, int],
 
         peaks = None
         if with_peaks:
-            peaks = jax.vmap(
-                lambda hm: find_peaks_refined(
-                    hm, thre1=pk.thre1, max_peaks=pk.max_peaks_per_joint,
-                    upsamp_factor=stride, win_size=pk.win_size,
-                    refine=pk.refine)
-            )(predict_keypoint)
+            # natively batched (NOT vmapped): keeps the top-k rank-2 so
+            # XLA's TPU TopK fast path fires (see find_peaks_refined_batched)
+            peaks = find_peaks_refined_batched(
+                predict_keypoint, thre1=pk.thre1,
+                max_peaks=pk.max_peaks_per_joint, upsamp_factor=stride,
+                win_size=pk.win_size, refine=pk.refine)
         return PipelineOutput(predict_keypoint, dets, peaks)
 
     return run
@@ -372,8 +372,17 @@ def make_prn_pipeline(model: PoseNet, cfg: Config):
         cnt = jnp.einsum("bjpy,bjpx->byxj", oh_y * insf[..., None], oh_x)
         marks = jnp.minimum(cnt, 1.0)
 
-        # gaussian-blur each person grid (tester.py:396-398, sigma=1 'nearest')
-        grids = gaussian_blur(marks, sigma=1.0, mode="nearest")
+        # gaussian-blur each person grid (tester.py:396-398, sigma=1
+        # 'nearest') as two dense blur-operator matmuls (ops/gaussian.
+        # blur_matrix == the separable conv exactly, incl. edge handling —
+        # tests/test_ops.py::test_blur_matrix_equals_separable_gaussian_blur).
+        # The depthwise-conv formulation edge-pads and shuffles
+        # (B, gh+pad, gw, J) f32 tensors through bad layouts (~5 ms/exec
+        # at batch 64); the two matmuls are ~8 GFLOPs on the MXU.
+        by = jnp.asarray(blur_matrix(gh, 1.0, "nearest"))
+        bx = jnp.asarray(blur_matrix(gw, 1.0, "nearest"))
+        g1 = jnp.einsum("yh,bhxj->byxj", by, marks, precision=hi)
+        grids = jnp.einsum("xw,bywj->byxj", bx, g1, precision=hi)
 
         prn_out = model.apply(params, grids, method=PoseNet.prn_forward)
 

@@ -189,3 +189,82 @@ def find_peaks_refined(
     coords = jnp.stack([rx, ry], axis=-1).astype(jnp.int32)
     scores = jnp.where(valid, rs, -1.0)
     return PeakSet(coords, scores, valid)
+
+
+def find_peaks_refined_batched(
+    heatmaps: jnp.ndarray,
+    thre1: float = 0.1,
+    max_peaks: int = 32,
+    upsamp_factor: int = 1,
+    win_size: int = 2,
+    refine: bool = True,
+) -> PeakSet:
+    """Batched twin of `find_peaks_refined` for (B, H, W, J) heatmap stacks.
+
+    Semantically identical to ``jax.vmap(find_peaks_refined)`` (equivalence
+    test: tests/test_ops.py::test_find_peaks_batched_equals_vmapped), but
+    the top-k runs on a RANK-2 reshape (B*J, H*W): XLA's TPU TopK fast
+    path only fires for rank-2 operands — under vmap the operand is rank-3
+    and lowers to a FULL variadic sort instead (measured 5.9 ms vs 15.4 ms
+    at B=64, J=18, HW=14400; bit-identical outputs incl. tie order).
+    """
+    b, h, w, num_j = heatmaps.shape
+    hm = jnp.transpose(heatmaps, (0, 3, 1, 2)).astype(jnp.float32)  # (B,J,H,W)
+
+    neg = jnp.asarray(-jnp.inf, hm.dtype)
+    padded = jnp.pad(hm, ((0, 0), (0, 0), (1, 1), (1, 1)), constant_values=neg)
+    cross_max = jnp.maximum(
+        hm,
+        jnp.maximum(
+            jnp.maximum(padded[:, :, :-2, 1:-1], padded[:, :, 2:, 1:-1]),
+            jnp.maximum(padded[:, :, 1:-1, :-2], padded[:, :, 1:-1, 2:]),
+        ),
+    )
+    is_peak = (hm == cross_max) & (hm > thre1)
+
+    flat = jnp.where(is_peak, hm, -1.0).reshape(b * num_j, h * w)
+    top_scores, top_idx = jax.lax.top_k(flat, max_peaks)      # rank-2 fast path
+    top_scores = top_scores.reshape(b, num_j, max_peaks)
+    top_idx = top_idx.reshape(b, num_j, max_peaks)
+    valid = top_scores > thre1
+    py = (top_idx // w).astype(jnp.int32)
+    px = (top_idx % w).astype(jnp.int32)
+
+    f = int(upsamp_factor)
+    if not refine:
+        cx = jnp.round((px + 0.5) * f - 0.5).astype(jnp.int32)
+        cy = jnp.round((py + 0.5) * f - 0.5).astype(jnp.int32)
+        coords = jnp.stack([cx, cy], axis=-1)
+        scores = jnp.where(valid, top_scores, -1.0)
+        return PeakSet(coords, scores, valid)
+
+    s = 2 * win_size + 1
+    m = jnp.asarray(_upsample_matrix(s, f)) if f > 1 else jnp.eye(s, dtype=jnp.float32)
+
+    wy = jnp.clip(py - win_size, 0, h - s)
+    wx = jnp.clip(px - win_size, 0, w - s)
+
+    # one-hot patch extraction on the MXU (see find_peaks_refined)
+    hi = jax.lax.Precision.HIGHEST
+    iy = wy[..., None] + jnp.arange(s)                        # (B, J, P, s)
+    ix = wx[..., None] + jnp.arange(s)
+    oh_y = (iy[..., None] == jnp.arange(h)).astype(hm.dtype)  # (B, J, P, s, H)
+    oh_x = (ix[..., None] == jnp.arange(w)).astype(hm.dtype)
+    rows = jnp.einsum("bjpah,bjhw->bjpaw", oh_y, hm, precision=hi)
+    patches = jnp.einsum("bjpaw,bjpcw->bjpac", rows, oh_x, precision=hi)
+
+    up = jnp.einsum("ua,bjpac->bjpuc", m, patches, precision=hi)
+    up = jnp.einsum("bjpuc,vc->bjpuv", up, m, precision=hi)   # (B,J,P,sf,sf)
+
+    sf = s * f
+    flat_up = up.reshape(b, num_j, max_peaks, sf * sf)
+    amax = jnp.argmax(flat_up, axis=-1)
+    ay = (amax // sf).astype(jnp.int32)
+    ax = (amax % sf).astype(jnp.int32)
+    rx = wx * f + ax
+    ry = wy * f + ay
+    rs = jnp.max(flat_up, axis=-1)
+
+    coords = jnp.stack([rx, ry], axis=-1).astype(jnp.int32)
+    scores = jnp.where(valid, rs, -1.0)
+    return PeakSet(coords, scores, valid)

@@ -294,6 +294,33 @@ def test_find_peaks_plateau_and_capacity():
     assert np.all(np.asarray(ps.scores)[0, :3] >= 0.6 - 1e-6)
 
 
+def test_find_peaks_batched_equals_vmapped(rng):
+    """find_peaks_refined_batched == vmap(find_peaks_refined) exactly —
+    coords, scores, valid — on random multi-blob heatmaps (refined and
+    unrefined, factor 1 and 4)."""
+    import jax
+
+    from multiposenet_tpu.ops.peaks import find_peaks_refined_batched
+
+    hm = np.zeros((3, 40, 32, 4), np.float32)
+    yy, xx = np.mgrid[0:40, 0:32]
+    for b in range(3):
+        for j in range(4):
+            for _ in range(rng.randint(1, 6)):
+                cy, cx = rng.uniform(2, 38), rng.uniform(2, 30)
+                hm[b, :, :, j] += rng.uniform(0.3, 1.0) * np.exp(
+                    -((xx - cx) ** 2 + (yy - cy) ** 2) / rng.uniform(2, 6))
+    for refine, f in [(True, 4), (True, 1), (False, 4)]:
+        ref = jax.vmap(lambda x: find_peaks_refined(
+            x, 0.1, 8, upsamp_factor=f, refine=refine))(jnp.asarray(hm))
+        got = find_peaks_refined_batched(jnp.asarray(hm), 0.1, 8,
+                                         upsamp_factor=f, refine=refine)
+        np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+        np.testing.assert_array_equal(np.asarray(ref.coords), np.asarray(got.coords))
+        np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(got.scores),
+                                   atol=1e-6)
+
+
 @pytest.mark.parametrize("regime", ["continuous", "quantized", "peaklike"])
 def test_topk_hierarchical_equals_lax_topk(regime, rng):
     """_topk_hierarchical must reproduce lax.top_k ELEMENT-FOR-ELEMENT —
