@@ -152,6 +152,12 @@ def _load_eval(args, subnet="keypoint"):
         # full model state: params AND BN running stats (reference load_net
         # restores the whole state_dict, net_utils.py:69-110)
         variables, _ = ckpt_lib.restore_variables_partial(args.ckpt, variables)
+    if getattr(args, "fold_bn", False):
+        from multiposenet_tpu.models.fold_bn import fold_bn_variables
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fold_bn=True))
+        model = PoseNet(cfg.model)
+        variables = fold_bn_variables(variables)
     return cfg, Evaluator(cfg, model, variables)
 
 
@@ -364,6 +370,11 @@ def main(argv=None):
                             "of scale 1.0 only — results are identical; "
                             "boxes from other scales are never consumed "
                             "(tester.py:169)")
+        p.add_argument("--fold-bn", action="store_true",
+                       help="fold trunk BatchNorms into the preceding "
+                            "convs' weights+bias after the checkpoint load "
+                            "(inference-only rewrite, models/fold_bn.py); "
+                            "numerics shift by float reassociation only")
 
     pc = sub.add_parser("coco-eval")
     _common(pc)

@@ -32,6 +32,11 @@ class ModelConfig:
     prn_dropout: float = 0.5
     # compute dtype for conv/matmul activations; params stay float32
     compute_dtype: jnp.dtype = jnp.float32
+    # inference-only: trunk BatchNorms folded into the preceding convs'
+    # weights+bias (models/fold_bn.py transforms the variables to match).
+    # Off by default — training and the reference-parity suites use the
+    # unfolded graph.
+    fold_bn: bool = False
 
     @property
     def prn_height(self) -> int:

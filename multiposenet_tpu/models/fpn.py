@@ -52,16 +52,24 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     compute_dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dtype = self.compute_dtype
         conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
-            use_bias=False, kernel_init=conv_init, dtype=dtype, name=name)
-        bn = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=dtype, name=name)
+            use_bias=self.fold_bn, kernel_init=conv_init, dtype=dtype,
+            name=name)
+        if self.fold_bn:
+            # inference-only graph: the BN affine lives in the conv
+            # weights/bias (models/fold_bn.fold_bn_variables)
+            assert not train, "fold_bn is an inference-only graph"
+            bn = lambda name: (lambda x: x)  # noqa: E731
+        else:
+            bn = lambda name: nn.BatchNorm(  # noqa: E731
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=dtype, name=name)
 
         out = nn.relu(bn("bn1")(conv(self.planes, 1, 1, "conv1")(x)))
         out = nn.relu(bn("bn2")(conv(self.planes, 3, self.stride, "conv2")(out)))
@@ -83,6 +91,7 @@ class ResNetFPN(nn.Module):
     block_counts: Sequence[int] = (3, 4, 23, 3)
     channels: int = 256
     compute_dtype: Any = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> FPNFeatures:
@@ -95,9 +104,12 @@ class ResNetFPN(nn.Module):
                            kernel_init=conv_init, dtype=dtype, name=name)
 
         # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool (reference fpn.py:41-42,99-100)
-        c1 = conv(64, 7, 2, "conv1", use_bias=False)(x)
-        c1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                          epsilon=1e-5, dtype=dtype, name="bn1")(c1)
+        c1 = conv(64, 7, 2, "conv1", use_bias=self.fold_bn)(x)
+        if self.fold_bn:
+            assert not train, "fold_bn is an inference-only graph"
+        else:
+            c1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, dtype=dtype, name="bn1")(c1)
         c1 = nn.relu(c1)
         c1 = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -105,6 +117,7 @@ class ResNetFPN(nn.Module):
         def stage(h, planes, blocks, stride, name):
             for i in range(blocks):
                 h = Bottleneck(planes, stride if i == 0 else 1, dtype,
+                               fold_bn=self.fold_bn,
                                name=f"{name}_{i}")(h, train)
             return h
 

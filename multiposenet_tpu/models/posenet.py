@@ -36,7 +36,8 @@ class PoseNet(nn.Module):
         c = self.cfg
         self.fpn = ResNetFPN(block_counts=BLOCK_COUNTS[c.backbone],
                              channels=c.fpn_channels,
-                             compute_dtype=c.compute_dtype, name="fpn")
+                             compute_dtype=c.compute_dtype,
+                             fold_bn=c.fold_bn, name="fpn")
         self.keypoint_head = KeypointHead(
             num_joints=c.num_joints, interm_channels=c.num_interm_channels,
             mid_channels=c.keypoint_mid_channels,

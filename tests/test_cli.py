@@ -159,3 +159,17 @@ def test_load_eval_carries_batch_stats(coco_tree, tmp_path):
     assert len(flat_got) == len(flat_want) > 0
     for g, w in zip(flat_got, flat_want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # --fold-bn: the evaluator must be rebuilt on the folded graph with
+    # the BN collections consumed into conv weights (models/fold_bn.py),
+    # folding the SAME loaded state (incl. the trained running stats above)
+    from multiposenet_tpu.models.fold_bn import fold_bn_variables
+    a.fold_bn = True
+    fcfg, fev = cli._load_eval(a, subnet="keypoint")
+    assert fcfg.model.fold_bn
+    assert set(fev.params) == {"params"}
+    want = fold_bn_variables(
+        {"params": variables["params"], "batch_stats": trained_bs})
+    for g, w in zip(jax.tree.leaves(jax.device_get(fev.params)),
+                    jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)

@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--ckpt", default=None,
                     help="orbax checkpoint dir (best-copy) for real weights")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--backbone", default=None,
+                    choices=["resnet50", "resnet101"],
+                    help="override cfg.model.backbone (match the ckpt)")
+    ap.add_argument("--fold-bn", action="store_true",
+                    help="fold trunk BNs into conv weights "
+                         "(models/fold_bn.py) before serving")
     ap.add_argument("--requests", type=int, default=30,
                     help="timed single-image requests")
     ap.add_argument("--batch-sizes", default="1,4,8,16")
@@ -59,6 +65,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            compute_dtype=jnp.bfloat16))
+    if args.backbone:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           backbone=args.backbone))
     model = PoseNet(cfg.model)
     size = cfg.eval.inp_size
     variables = model.init(
@@ -71,6 +81,12 @@ def main():
         variables, stats = ckpt_lib.restore_variables_partial(
             args.ckpt, variables)
         print(f"# loaded {args.ckpt}: {stats}")
+    if args.fold_bn:
+        from multiposenet_tpu.models.fold_bn import fold_bn_variables
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fold_bn=True))
+        model = PoseNet(cfg.model)
+        variables = fold_bn_variables(variables)
 
     # COCO-typical landscape inputs; sizes vary a little so the host pack
     # path (pad-to-square + resize) does real work every request
