@@ -25,9 +25,12 @@ import collections
 import dataclasses
 import glob
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # ---------------------------------------------------------------------------
 # minimal protobuf wire decoder for XSpace (tsl/profiler/protobuf/xplane.proto)
@@ -201,6 +204,14 @@ def main():
     ap.add_argument("--e2e", action="store_true",
                     help="profile the full e2e pose graph instead of "
                          "detect+peaks")
+    ap.add_argument("--train", default=None,
+                    choices=["keypoint", "detection", "prn"],
+                    help="profile a TRAIN step instead of inference "
+                         "(chained protocol, same setup as "
+                         "tools/bench_train_mfu.py)")
+    ap.add_argument("--size", type=int, default=None,
+                    help="input size for --train (default: cfg inp_size)")
+    ap.add_argument("--backbone", default="resnet101")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--keep-trace", default=None,
                     help="write the trace here instead of a temp dir")
@@ -238,7 +249,39 @@ def main():
                         .rand(batch, size, size, 3) * 255).astype(np.uint8))
     scales = jnp.ones((batch,), jnp.float32)
 
-    if args.e2e:
+    if args.train:
+        # chained train-step protocol (one step per "exec"); setup shared
+        # with tools/bench_train_mfu.py
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_train_mfu import make_batch
+        from multiposenet_tpu.config import DataConfig, ModelConfig
+        from multiposenet_tpu.engine import train_steps as ts
+        tsize = args.size or (608 if args.train == "detection" else 480)
+        cfg = Config(
+            model=ModelConfig(backbone=args.backbone,
+                              compute_dtype=(jnp.float32 if args.f32
+                                             else jnp.bfloat16)),
+            data=DataConfig(inp_size=tsize))
+        model = PoseNet(cfg.model)
+        state, tx, mask = ts.create_train_state(
+            model, cfg, jax.random.PRNGKey(0), (tsize, tsize), args.train)
+        factory = {"keypoint": ts.make_keypoint_steps,
+                   "detection": ts.make_detection_steps,
+                   "prn": ts.make_prn_steps}[args.train]
+        kw = ({"image_hw": (tsize, tsize)} if args.train == "detection"
+              else {})
+        train_step, _ = factory(model, cfg, tx, mask, **kw)
+        dev_batch = {k: jnp.asarray(v) for k, v in make_batch(
+            args.train, cfg, batch, tsize, np.random.RandomState(0)).items()}
+        lr = jnp.asarray(1e-4, jnp.float32)
+        extra = ((jax.random.PRNGKey(1),) if args.train == "prn" else ())
+        carry = {"state": state}
+
+        def run():
+            carry["state"], logs = train_step(carry["state"], dev_batch,
+                                              lr, *extra)
+            return logs["loss"]
+    elif args.e2e:
         pipe = make_e2e_pose_pipeline(model, cfg, (size, size))
         run = lambda: pipe(params, imgs, scales)[1].chosen  # noqa: E731
     else:
@@ -262,7 +305,9 @@ def main():
         raise SystemExit(f"no xplane.pb under {trace_dir}")
     planes = parse_xspace(pbs[-1])
 
-    print(f"graph={'e2e' if args.e2e else 'detect+peaks'} batch={batch} "
+    graph = (f"train:{args.train}" if args.train
+             else ("e2e" if args.e2e else "detect+peaks"))
+    print(f"graph={graph} batch={batch} "
           f"iters={n} dtype={'f32' if args.f32 else 'bf16'}")
     print(f"wall for {n} execs: {wall * 1000:.1f} ms "
           f"({wall * 1000 / n:.2f} ms/exec, "
