@@ -1,8 +1,16 @@
-"""Skeleton / bbox rendering (reference network/joint_utils.py:155-202)."""
+"""Skeleton / bbox rendering.
+
+Output-parity target: the reference's visualizer
+(network/joint_utils.py:155-202) — red bbox rectangles, per-joint colored
+dots, and elliptical limb "sticks".  The color table and limb topology are
+protocol constants and must match; the drawing itself is restructured here:
+all limb geometry (endpoints, midpoints, lengths, angles) is computed as
+batched numpy array math over the whole skeleton, and the cv2 primitives are
+emitted from those precomputed tables.
+"""
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Sequence
 
 import cv2
@@ -14,41 +22,53 @@ COLORS = [
     [0, 170, 255], [0, 85, 255], [0, 0, 255], [85, 0, 255], [170, 0, 255],
     [255, 0, 255], [255, 0, 170], [255, 0, 85], [255, 0, 0]]
 # limbs over the 17-joint internal order (reference joint_utils.py:14-15)
-LIMB_SEQ = [[0, 1], [1, 2], [2, 3], [0, 4], [4, 5], [5, 6], [0, 7], [7, 8],
-            [8, 9], [0, 10], [10, 11], [11, 12], [0, 13], [13, 15], [0, 14],
-            [14, 16]]
+LIMB_SEQ = np.array(
+    [[0, 1], [1, 2], [2, 3], [0, 4], [4, 5], [5, 6], [0, 7], [7, 8],
+     [8, 9], [0, 10], [10, 11], [11, 12], [0, 13], [13, 15], [0, 14],
+     [14, 16]], dtype=np.int64)
+
+_JOINT_RADIUS = 4
+_STICK_HALFWIDTH = 2
+_BBOX_COLOR = (0, 0, 255)  # BGR red
 
 
 def draw_person(canvas: np.ndarray, joints: Sequence[Sequence[float]],
                 bbox: Sequence[float]) -> np.ndarray:
-    x1, y1 = int(bbox[0]), int(bbox[1])
-    x2, y2 = int(bbox[0] + bbox[2]), int(bbox[1] + bbox[3])
-    cv2.rectangle(canvas, (x1, y1), (x2, y2), color=(0, 0, 255), thickness=2)
+    """Draw one person's bbox, joints and limb sticks onto ``canvas``."""
+    j = np.asarray(joints, dtype=np.float64).reshape(17, 3)
+    xy = j[:, :2].astype(np.int64)
+    visible = j[:, 2] != 0
 
-    for i in range(17):
-        if int(joints[i][2]) == 0:
-            continue
-        cv2.circle(canvas, (int(joints[i][0]), int(joints[i][1])), 4,
-                   COLORS[i], thickness=-1)
+    bx, by, bw, bh = (float(v) for v in bbox[:4])
+    cv2.rectangle(canvas, (int(bx), int(by)), (int(bx + bw), int(by + bh)),
+                  color=_BBOX_COLOR, thickness=2)
 
-    for i in range(16):
-        a, b = LIMB_SEQ[i]
-        if joints[a][2] == 0 or joints[b][2] == 0:
-            continue
-        xs = (int(joints[a][0]), int(joints[b][0]))
-        ys = (int(joints[a][1]), int(joints[b][1]))
-        mx, my = np.mean(xs), np.mean(ys)
-        length = ((xs[0] - xs[1]) ** 2 + (ys[0] - ys[1]) ** 2) ** 0.5
-        angle = math.degrees(math.atan2(ys[0] - ys[1], xs[0] - xs[1]))
-        poly = cv2.ellipse2Poly((int(mx), int(my)), (int(length / 2), 2),
-                                int(angle), 0, 360, 1)
-        cv2.fillConvexPoly(canvas, poly, COLORS[i])
+    for idx in np.flatnonzero(visible):
+        cv2.circle(canvas, tuple(xy[idx]), _JOINT_RADIUS, COLORS[idx],
+                   thickness=-1)
+
+    # Batched stick geometry: endpoints (L,2,2), then midpoint / length /
+    # angle for every limb at once.  The reference computes these one limb
+    # at a time inside its loop; here the loop only rasterizes.
+    ends = xy[LIMB_SEQ]                         # (16, 2, 2) int endpoints
+    limb_ok = visible[LIMB_SEQ].all(axis=1)     # both endpoints visible
+    mids = ends.astype(np.float64).mean(axis=1)  # (16, 2)
+    deltas = (ends[:, 0] - ends[:, 1]).astype(np.float64)
+    half_lens = np.hypot(deltas[:, 0], deltas[:, 1]) / 2.0
+    angles = np.degrees(np.arctan2(deltas[:, 1], deltas[:, 0]))
+
+    for idx in np.flatnonzero(limb_ok):
+        poly = cv2.ellipse2Poly(
+            (int(mids[idx, 0]), int(mids[idx, 1])),
+            (int(half_lens[idx]), _STICK_HALFWIDTH),
+            int(angles[idx]), 0, 360, 1)
+        cv2.fillConvexPoly(canvas, poly, COLORS[idx])
     return canvas
 
 
 def plot_results(img: np.ndarray, results: List[Dict]) -> np.ndarray:
+    """Render a list of COCO-format person results onto ``img``."""
     for person in results:
-        kp = person["keypoints"]
-        joints = [[kp[3 * i], kp[3 * i + 1], kp[3 * i + 2]] for i in range(17)]
-        img = draw_person(img, joints, person["bbox"])
+        kp = np.asarray(person["keypoints"], dtype=np.float64).reshape(17, 3)
+        img = draw_person(img, kp, person["bbox"])
     return img
