@@ -34,7 +34,7 @@ from multiposenet_tpu.config import Config
 from multiposenet_tpu.engine.inference import preprocess_on_device
 from multiposenet_tpu.models.posenet import PoseNet
 from multiposenet_tpu.ops.anchors import anchors_for_shape
-from multiposenet_tpu.ops.gaussian import gaussian_blur
+from multiposenet_tpu.ops.gaussian import blur_matrix, gaussian_blur
 from multiposenet_tpu.ops.heatmap import make_heatmaps
 from multiposenet_tpu.ops.losses import detection_loss, keypoint_loss, prn_loss
 
@@ -306,18 +306,39 @@ def make_detection_steps(model: PoseNet, cfg: Config, tx, mask,
 # ---------------------------------------------------------------------------
 
 def make_prn_steps(model: PoseNet, cfg: Config, tx, mask,
-                   mesh: Optional[Mesh] = None):
+                   mesh: Optional[Mesh] = None,
+                   grid_impl: str = "matmul"):
     """batch = {'weights_marks': (B,gh,gw,17) f32 one-hot multi-person marks,
                 'label_marks':   (B,gh,gw,17) f32 one-hot own-person marks}
 
     The gaussian blurs the reference does per-sample in dataloader workers
     (prn_data_pipeline.py:105-107: weights sigma=1 'nearest', labels sigma=2
     'constant') run here on device, batched.
+
+    grid_impl: 'matmul' (default) builds the grids as dense blur-operator
+    matmuls — the formulation that won in the inference PRN stage
+    (engine/inference.py make_prn_pipeline) because the depthwise-conv
+    edge-pad shuffles bad layouts; 'conv' keeps the separable depthwise
+    convolution for A/B measurement (tools/bench_train_mfu.py --prn-grids).
+    Both are exactly equivalent (tests/test_ops.py::
+    test_blur_matrix_equals_separable_gaussian_blur).
     """
+    gh, gw = cfg.model.prn_height, cfg.model.prn_width
+
+    def _blur_mm(x, sigma, mode):
+        hi = jax.lax.Precision.HIGHEST
+        by = jnp.asarray(blur_matrix(gh, sigma, mode))
+        bx = jnp.asarray(blur_matrix(gw, sigma, mode))
+        x = jnp.einsum("yh,bhxj->byxj", by, x, precision=hi)
+        return jnp.einsum("xw,bywj->byxj", bx, x, precision=hi)
 
     def build_grids(batch):
-        w = gaussian_blur(batch["weights_marks"], sigma=1.0, mode="nearest")
-        lbl = gaussian_blur(batch["label_marks"], sigma=2.0, mode="constant")
+        if grid_impl == "matmul":
+            w = _blur_mm(batch["weights_marks"], 1.0, "nearest")
+            lbl = _blur_mm(batch["label_marks"], 2.0, "constant")
+        else:
+            w = gaussian_blur(batch["weights_marks"], sigma=1.0, mode="nearest")
+            lbl = gaussian_blur(batch["label_marks"], sigma=2.0, mode="constant")
         return w, lbl
 
     def loss_from_batch(params, batch, train: bool, rng=None):

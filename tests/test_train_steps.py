@@ -144,6 +144,35 @@ def test_prn_train_step_runs():
     assert np.isfinite(float(val_step(state, batch)["loss"]))
 
 
+def test_prn_grid_impls_equivalent():
+    """'matmul' (blur-operator einsum) and 'conv' (separable depthwise)
+    grid builds are the same function: identical val loss and identical
+    one-step training trajectory from the same init/rng."""
+    cfg = tiny_config()
+    model = PoseNet(cfg.model)
+    rng = np.random.RandomState(1)
+    gh, gw = cfg.model.prn_height, cfg.model.prn_width
+    batch = {
+        "weights_marks": jnp.asarray(
+            (rng.rand(2, gh, gw, 17) > 0.99).astype(np.float32)),
+        "label_marks": jnp.asarray(
+            (rng.rand(2, gh, gw, 17) > 0.995).astype(np.float32)),
+    }
+    losses, stepped = [], []
+    for impl in ("matmul", "conv"):
+        state, tx, mask = create_train_state(
+            model, cfg, jax.random.PRNGKey(0), (96, 96), "prn")
+        train_step, val_step = make_prn_steps(model, cfg, tx, mask,
+                                              grid_impl=impl)
+        losses.append(float(val_step(state, batch)["loss"]))
+        state, _ = train_step(state, batch, jnp.asarray(1e-3),
+                              jax.random.PRNGKey(7))
+        stepped.append(jax.tree.map(np.asarray, state.params["prn"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(stepped[0]), jax.tree.leaves(stepped[1])):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 @pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_detection_and_prn_steps_on_8_device_mesh():
     """Detection and PRN stages also run data-parallel over the mesh."""

@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--backbone", default="resnet101")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--prn-grids", default="matmul", choices=["matmul", "conv"],
+                    help="PRN grid-build formulation A/B (train_steps."
+                         "make_prn_steps grid_impl)")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +96,8 @@ def main():
                "detection": ts.make_detection_steps,
                "prn": ts.make_prn_steps}[args.subnet]
     kw = {"image_hw": (size, size)} if args.subnet == "detection" else {}
+    if args.subnet == "prn":
+        kw["grid_impl"] = args.prn_grids
     train_step, _ = factory(model, cfg, tx, mask, **kw)
 
     batch = make_batch(args.subnet, cfg, args.batch, size,
@@ -137,6 +142,7 @@ def main():
     ips = args.batch * args.iters / dt
 
     out = {"subnet": args.subnet, "dtype": dtype_name, "batch": args.batch,
+           **({"grid_impl": args.prn_grids} if args.subnet == "prn" else {}),
            "size": size, "ms_per_step": round(ms, 1),
            "images_per_sec": round(ips, 1),
            "gflops_per_image": (round(gflops_per_image, 1)
