@@ -208,6 +208,29 @@ def _apply_eval_flags(ev, args):
     if updates:
         ev.cfg = dataclasses.replace(
             ev.cfg, eval=dataclasses.replace(ev.cfg.eval, **updates))
+    peaks_up, prn_up, det_up = {}, {}, {}
+    if args.max_peaks is not None:
+        peaks_up["max_peaks_per_joint"] = args.max_peaks
+    if args.max_people is not None:
+        prn_up["max_people"] = args.max_people
+    if args.no_escalate:
+        peaks_up["escalate_max_peaks"] = 0
+        prn_up["escalate_max_people"] = 0
+    if args.no_refine:
+        peaks_up["refine"] = False
+    if args.xla_nms:
+        det_up["use_pallas_nms"] = False
+    if args.host_grouping:
+        prn_up["device_grouping"] = False
+    if peaks_up:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, peaks=dataclasses.replace(ev.cfg.peaks, **peaks_up))
+    if prn_up:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, prn=dataclasses.replace(ev.cfg.prn, **prn_up))
+    if det_up:
+        ev.cfg = dataclasses.replace(
+            ev.cfg, detection=dataclasses.replace(ev.cfg.detection, **det_up))
 
 
 def cmd_coco_eval(args):
@@ -375,6 +398,24 @@ def main(argv=None):
                             "convs' weights+bias after the checkpoint load "
                             "(inference-only rewrite, models/fold_bn.py); "
                             "numerics shift by float reassociation only")
+        p.add_argument("--max-peaks", type=int, default=None,
+                       help="base per-joint peak capacity "
+                            "(cfg.peaks.max_peaks_per_joint)")
+        p.add_argument("--max-people", type=int, default=None,
+                       help="base PRN person capacity (cfg.prn.max_people)")
+        p.add_argument("--no-escalate", action="store_true",
+                       help="disable crowd-capacity escalation (saturated "
+                            "images truncate with a warning instead of "
+                            "re-dispatching at the escalated tier)")
+        p.add_argument("--no-refine", action="store_true",
+                       help="disable sub-pixel peak refinement "
+                            "(cfg.peaks.refine)")
+        p.add_argument("--xla-nms", action="store_true",
+                       help="use the XLA masked-loop NMS instead of the "
+                            "Pallas VMEM kernel (results identical)")
+        p.add_argument("--host-grouping", action="store_true",
+                       help="run the greedy mutual-best assignment on host "
+                            "(reference-exact twin) instead of on device")
 
     pc = sub.add_parser("coco-eval")
     _common(pc)

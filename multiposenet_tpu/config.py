@@ -90,6 +90,13 @@ class PeakConfig:
 
     thre1: float = 0.1            # peak score threshold
     max_peaks_per_joint: int = 32  # fixed capacity (reference is dynamic)
+    # crowd escalation: when a device peak pass SATURATES the base capacity
+    # (some joint type fills every slot, i.e. the top-k may have truncated),
+    # the evaluator re-dispatches that image at this capacity so the output
+    # protocol matches the reference's unbounded peak lists
+    # (tester.py:338-350).  0 disables escalation (base capacity + warning).
+    # Precompile warms both tiers.
+    escalate_max_peaks: int = 128
     win_size: int = 2              # 5x5 refinement patch
     refine: bool = True
 
@@ -104,6 +111,13 @@ class PRNConfig:
     # person annotations; 64 covers every real image with headroom for
     # detector false positives.  Evaluator logs whenever this clips.
     max_people: int = 64
+    # crowd escalation: when an image carries more person boxes than
+    # max_people (or more peaks of one joint type than
+    # peaks.max_peaks_per_joint), prn_process rebuilds its fixed-shape
+    # arrays at the escalated (peaks, people) tier instead of truncating —
+    # matching the reference's unbounded per-person PRN loop
+    # (tester.py:400-406).  0 disables escalation.
+    escalate_max_people: int = 256
     score_window: int = 15         # NxN crop around peak for PRN scoring (tester.py:416)
     min_num_keypoints: int = 3     # training anns need > this many kps (prn_data_pipeline.py:120)
     # greedy mutual-best assignment on device (ops/grouping.py; fuzz-matched

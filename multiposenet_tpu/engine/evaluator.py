@@ -75,9 +75,10 @@ def _joints_to_peak_arrays(joint_list: Sequence[Sequence[float]],
             dropped += 1
     if dropped:
         logger.warning(
-            "%s: dropped %d peak(s) over max_peaks_per_joint=%d — raise "
-            "cfg.peaks.max_peaks_per_joint to process this crowd fully",
-            context or "image", dropped, max_peaks)
+            "%s: dropped %d peak(s) over the per-joint capacity %d — raise "
+            "cfg.peaks.escalate_max_peaks (or max_peaks_per_joint) to "
+            "process this crowd fully", context or "image", dropped,
+            max_peaks)
     # reference prn_process enters every peak with confidence 1 (tester.py:345)
     peak_score = np.where(peak_valid, 1.0, -1.0).astype(np.float32)
     return peak_xy, peak_score, peak_valid
@@ -94,8 +95,10 @@ def peak_arrays_to_joint_list(coords: np.ndarray, scores: np.ndarray,
     if full.any():
         logger.warning(
             "device peak capacity saturated for joint type(s) %s "
-            "(max_peaks_per_joint=%d): the on-device top-k may have "
-            "truncated lower-scoring peaks — raise cfg.peaks.max_peaks_per_joint",
+            "(capacity %d): the on-device top-k may have truncated "
+            "lower-scoring peaks — raise cfg.peaks.escalate_max_peaks "
+            "(coco_eval re-dispatches saturated images at that tier "
+            "automatically when it is set)",
             np.where(full)[0].tolist(), valid.shape[1])
     joint_list = []
     pid = 0
@@ -132,7 +135,6 @@ class Evaluator:
         self._prn_assign_jit = None
         self._accum_jit = None
         self._fold_jit = None
-        self._accum_fold_peaks_jit = None
         # device-buffer caches (_resize_mat_cache, _pyramid_jits,
         # _pyramid_args_cache) are created lazily via __dict__.setdefault in
         # their accessors so tests built with Evaluator.__new__ work too
@@ -216,15 +218,18 @@ class Evaluator:
             self._fold_jit = fold
         return self._fold_jit
 
-    def _fused_fold_peaks_body(self):
+    def _fused_fold_peaks_body(self, max_peaks: Optional[int] = None):
         """Untraced body shared by the single-image and group jits: every
         scale's cv2-exact bicubic resize-to-original (two MXU matmuls
         each), the sum, the /n + flip fold (mirror about the DYNAMIC valid
-        width, channel swap), pad masking, and ON-DEVICE peak finding."""
+        width, channel swap), pad masking, and ON-DEVICE peak finding.
+        `max_peaks` overrides the base per-joint peak capacity (the crowd
+        escalation tier re-dispatches saturated images through a variant
+        built with cfg.peaks.escalate_max_peaks)."""
         from multiposenet_tpu.ops.peaks import find_peaks_refined
         swap = jnp.asarray(SWAP_HEAT_18)
         thre1 = self.cfg.peaks.thre1
-        max_peaks = self.cfg.peaks.max_peaks_per_joint
+        max_peaks = max_peaks or self.cfg.peaks.max_peaks_per_joint
         win = self.cfg.peaks.win_size
         hi = jax.lax.Precision.HIGHEST
 
@@ -248,10 +253,11 @@ class Evaluator:
                     & (jnp.arange(wp)[None, :] < w))
             heat = jnp.where(mask[:, :, None], heat, 0.0)
             return find_peaks_refined(heat, thre1, max_peaks,
-                                      upsamp_factor=1, win_size=win)
+                                      upsamp_factor=1, win_size=win,
+                                      refine=self.cfg.peaks.refine)
         return run
 
-    def accum_fold_peaks_fn(self):
+    def accum_fold_peaks_fn(self, max_peaks: Optional[int] = None):
         """Cached jit of the WHOLE post-forward multi-scale reduction as one
         exec (`_fused_fold_peaks_body`) — so per image a single small
         dispatch replaces 5 accum execs + a fold exec (each paying per-exec
@@ -264,12 +270,18 @@ class Evaluator:
         warms — rather than one per distinct original image size.  Peaks
         land directly in original-image coordinates; border-window
         semantics are the documented ops/peaks.py deviation (<=1px within
-        2px of the border)."""
-        if self._accum_fold_peaks_jit is None:
-            import functools
-            self._accum_fold_peaks_jit = functools.partial(
-                jax.jit, static_argnums=(4,))(self._fused_fold_peaks_body())
-        return self._accum_fold_peaks_jit
+        2px of the border).
+
+        One cached jit per peak capacity: `max_peaks=None` is the base
+        tier; the crowd-escalation re-dispatch passes
+        cfg.peaks.escalate_max_peaks."""
+        import functools
+        cache = self.__dict__.setdefault("_accum_fold_peaks_jits", {})
+        key = max_peaks or self.cfg.peaks.max_peaks_per_joint
+        if key not in cache:
+            cache[key] = functools.partial(jax.jit, static_argnums=(4,))(
+                self._fused_fold_peaks_body(max_peaks))
+        return cache[key]
 
     def accum_fold_peaks_group_fn(self):
         """EXPERIMENTAL grouped variant — see engine/grouped_eval.py."""
@@ -426,6 +438,31 @@ class Evaluator:
 
     # ------------------------------------------------------------------
 
+    def _prn_capacities(self, joint_list, n_boxes: int,
+                        context: str = "") -> Tuple[int, int]:
+        """Pick the (max_peaks, max_people) tier for one image: the base
+        capacities, or — when the image's crowd overflows either and an
+        escalated tier is configured — BOTH escalated together (one extra
+        compiled PRN graph variant total, warmed by precompile).  The
+        reference's PRN stage is unbounded (tester.py:338-350, 400-406)."""
+        maxp = self.cfg.peaks.max_peaks_per_joint
+        maxb = self.cfg.prn.max_people
+        esc_p = self.cfg.peaks.escalate_max_peaks
+        esc_b = self.cfg.prn.escalate_max_people
+        need_p = 0
+        counts = [0] * NUM_J17
+        for row in joint_list:
+            counts[int(row[4])] += 1
+        need_p = max(counts) if counts else 0
+        if ((need_p > maxp and esc_p > maxp)
+                or (n_boxes > maxb and esc_b > maxb)):
+            logger.info(
+                "%s: crowd overflow (%d peaks/joint, %d boxes) — escalating "
+                "PRN capacity to (%d peaks, %d people)",
+                context, need_p, n_boxes, max(maxp, esc_p), max(maxb, esc_b))
+            return max(maxp, esc_p), max(maxb, esc_b)
+        return maxp, maxb
+
     def prn_process(self, joint_list: List[List[float]],
                     boxes_xyxy: List[Sequence[float]], file_name: str = "",
                     image_id: int = 0) -> List[Dict]:
@@ -441,24 +478,23 @@ class Evaluator:
             # result per box; we reproduce that
             return []
 
-        maxb = self.cfg.prn.max_people
+        context = file_name or f"image {image_id}"
+        maxp, maxb = self._prn_capacities(joint_list, len(boxes), context)
         nb = min(len(boxes), maxb)
         if len(boxes) > maxb:
             # the reference runs PRN per person, unbounded (tester.py:400-406)
             logger.warning(
-                "%s: %d person boxes exceed cfg.prn.max_people=%d; the "
-                "%d lowest-ranked are dropped — raise max_people to group "
-                "this crowd fully",
-                file_name or f"image {image_id}", len(boxes), maxb,
-                len(boxes) - maxb)
+                "%s: %d person boxes exceed the PRN person capacity %d; the "
+                "%d lowest-ranked are dropped — raise cfg.prn.max_people / "
+                "escalate_max_people to group this crowd fully",
+                context, len(boxes), maxb, len(boxes) - maxb)
         boxes_pad = np.zeros((maxb, 4), np.float32)
         boxes_pad[:nb] = boxes[:nb]
         box_valid = np.zeros(maxb, bool)
         box_valid[:nb] = True
 
         peak_xy, peak_score, peak_valid = _joints_to_peak_arrays(
-            joint_list, self.cfg.peaks.max_peaks_per_joint,
-            context=file_name or f"image {image_id}")
+            joint_list, maxp, context=context)
 
         args = (self.params, jnp.asarray(peak_xy), jnp.asarray(peak_score),
                 jnp.asarray(peak_valid), jnp.asarray(boxes_pad),
@@ -644,29 +680,40 @@ class Evaluator:
             if self.cfg.eval.device_peaks:
                 # warm the fused resize+sum+fold+peaks exec: one compile per
                 # (scale-shape combo, padded bucket); the valid (h, w) is a
-                # traced scalar so these cover every image in the bucket
-                fused = (self.accum_fold_peaks_group_fn() if use_groups
-                         else self.accum_fold_peaks_fn())
+                # traced scalar so these cover every image in the bucket.
+                # The crowd-escalation tier's variant (single-image path —
+                # group escalations re-dispatch through it too) is warmed
+                # alongside so a saturated crowd image never cold-compiles
+                # mid-eval.
+                esc = self._peak_escalation_tier()
+                fuseds = ([self.accum_fold_peaks_group_fn()] if use_groups
+                          else [self.accum_fold_peaks_fn()])
+                if esc:
+                    fuseds.append(self.accum_fold_peaks_fn(esc))
                 for i, (scales, hp, wp) in enumerate(sorted(combos)):
                     logger.info("precompile fused fold %d/%d: %s->(%d,%d)",
                                 i + 1, len(combos), scales, hp, wp)
-                    hms = tuple(jnp.zeros((bs, sh, sw, 18), hm_dtype)
+                    for fi, fused in enumerate(fuseds):
+                        grouped = use_groups and fi == 0
+                        fbs = bs if fi == 0 else (2 if self.cfg.eval.flip
+                                                  else 1)
+                        hms = tuple(jnp.zeros((fbs, sh, sw, 18), hm_dtype)
+                                    for sh, sw in scales)
+                        if grouped:
+                            mats = tuple(
+                                (jnp.zeros((gs, hp, sh), jnp.float32),
+                                 jnp.zeros((gs, sw, wp), jnp.float32))
                                 for sh, sw in scales)
-                    if use_groups:
-                        mats = tuple(
-                            (jnp.zeros((gs, hp, sh), jnp.float32),
-                             jnp.zeros((gs, sw, wp), jnp.float32))
-                            for sh, sw in scales)
-                        hh = jnp.full((gs,), hp, jnp.int32)
-                        ww = jnp.full((gs,), wp, jnp.int32)
-                    else:
-                        mats = tuple((jnp.zeros((hp, sh), jnp.float32),
-                                      jnp.zeros((sw, wp), jnp.float32))
-                                     for sh, sw in scales)
-                        hh, ww = jnp.int32(hp), jnp.int32(wp)
-                    jax.block_until_ready(fused(
-                        hms, mats, hh, ww,
-                        self.cfg.eval.flip, jnp.float32(1.0)))
+                            hh = jnp.full((gs,), hp, jnp.int32)
+                            ww = jnp.full((gs,), wp, jnp.int32)
+                        else:
+                            mats = tuple((jnp.zeros((hp, sh), jnp.float32),
+                                          jnp.zeros((sw, wp), jnp.float32))
+                                         for sh, sw in scales)
+                            hh, ww = jnp.int32(hp), jnp.int32(wp)
+                        jax.block_until_ready(fused(
+                            hms, mats, hh, ww,
+                            self.cfg.eval.flip, jnp.float32(1.0)))
             else:
                 # warm the per-scale resize+accumulate graphs: one per
                 # unique (scale-bucket shape, padded-original shape) pair
@@ -716,19 +763,28 @@ class Evaluator:
                         jnp.zeros((hp, wp, 3), jnp.uint8),
                         ipack, wpack, dims))
         # PRN stage (single fixed shape): the fused PRN+grouping graph when
-        # device grouping is on, the bare PRN pipeline otherwise
+        # device grouping is on, the bare PRN pipeline otherwise.  Both
+        # capacity tiers are warmed: the base (max_peaks, max_people) and —
+        # when crowd escalation is configured — the escalated tier
+        # prn_process switches a crowded image to
         maxb = self.cfg.prn.max_people
         maxp = self.cfg.peaks.max_peaks_per_joint
-        prn_args = (self.params,
-                    jnp.zeros((NUM_J17, maxp, 2), jnp.float32),
-                    jnp.full((NUM_J17, maxp), -1.0, jnp.float32),
-                    jnp.zeros((NUM_J17, maxp), bool),
-                    jnp.zeros((maxb, 4), jnp.float32),
-                    jnp.zeros((maxb,), bool))
-        if self.cfg.prn.device_grouping:
-            jax.block_until_ready(self.prn_assign_pipeline()(*prn_args))
-        else:
-            jax.block_until_ready(self.prn_pipeline()(*prn_args))
+        tiers = [(maxp, maxb)]
+        esc_p = self.cfg.peaks.escalate_max_peaks
+        esc_b = self.cfg.prn.escalate_max_people
+        if esc_p > maxp or esc_b > maxb:
+            tiers.append((max(maxp, esc_p), max(maxb, esc_b)))
+        for tp, tb in tiers:
+            prn_args = (self.params,
+                        jnp.zeros((NUM_J17, tp, 2), jnp.float32),
+                        jnp.full((NUM_J17, tp), -1.0, jnp.float32),
+                        jnp.zeros((NUM_J17, tp), bool),
+                        jnp.zeros((tb, 4), jnp.float32),
+                        jnp.zeros((tb,), bool))
+            if self.cfg.prn.device_grouping:
+                jax.block_until_ready(self.prn_assign_pipeline()(*prn_args))
+            else:
+                jax.block_until_ready(self.prn_pipeline()(*prn_args))
         return shapes
 
     # ------------------------------------------------------------------
@@ -792,12 +848,15 @@ class Evaluator:
 
     def _dispatch_image_device(self, multipliers: List[float],
                                img: np.ndarray, bucket: int = 64,
-                               with_flip: bool = False):
+                               with_flip: bool = False,
+                               max_peaks: Optional[int] = None):
         """Enqueue ALL of one image's device work (async, no fetch): the
         per-scale pipeline forwards, then — with device peaks — ONE fused
         resize+sum+fold+peaks exec (`accum_fold_peaks_fn`); without, the
         per-scale accum chain + fold.  The stride-4 heatmaps never reach
-        the host.  Returns an opaque handle for `_fetch_image_device`."""
+        the host.  Returns an opaque handle for `_fetch_image_device`.
+        `max_peaks` selects the escalated peak-capacity tier (crowd
+        re-dispatch, `_fetch_finish_escalating`)."""
         h, w = img.shape[:2]
         pad_to = max(bucket, 1)
         hp = -(-h // pad_to) * pad_to
@@ -859,7 +918,9 @@ class Evaluator:
 
         inv_n = jnp.float32(1.0 / len(multipliers))
         if use_fused:
-            pk = self.accum_fold_peaks_fn()(
+            fused = (self.accum_fold_peaks_fn() if max_peaks is None
+                     else self.accum_fold_peaks_fn(max_peaks))
+            pk = fused(
                 tuple(hms), tuple(mats), jnp.int32(h), jnp.int32(w),
                 with_flip, inv_n)
             return ("peaks", pk, det_pending, (h, w))
@@ -903,6 +964,38 @@ class Evaluator:
         return self._fetch_image_device(self._dispatch_image_device(
             multipliers, img, bucket=bucket, with_flip=with_flip))
 
+    def _peak_escalation_tier(self) -> int:
+        """Escalated per-joint peak capacity, or 0 when escalation is off
+        (disabled, non-device-peaks path, or tier not above base)."""
+        esc = self.cfg.peaks.escalate_max_peaks
+        if (self.cfg.eval.device_peaks and self.cfg.eval.device_resize
+                and esc > self.cfg.peaks.max_peaks_per_joint):
+            return esc
+        return 0
+
+    def _fetch_finish_escalating(self, handle, img, multipliers, bucket,
+                                 img_h, name, img_id) -> List[Dict]:
+        """Fetch one dispatched image and finish it — re-dispatching the
+        whole image at the escalated peak capacity first if the base-tier
+        device top-k SATURATED (some joint type filled every slot, so peaks
+        may have been truncated).  The reference's host peak lists are
+        unbounded (tester.py:338-350); with a configured escalation tier a
+        base-capacity truncation can never reach the protocol output."""
+        heat, bbox, flip, peaks = self._fetch_image_device(handle)
+        esc = self._peak_escalation_tier()
+        if (peaks is not None and esc
+                and bool(np.asarray(peaks[2]).all(axis=-1).any())):
+            logger.info(
+                "%s: peak capacity %d saturated — re-dispatching at the "
+                "escalated tier %d", name or f"image {img_id}",
+                self.cfg.peaks.max_peaks_per_joint, esc)
+            handle = self._dispatch_image_device(
+                multipliers, img, bucket=bucket,
+                with_flip=self.cfg.eval.flip, max_peaks=esc)
+            heat, bbox, flip, peaks = self._fetch_image_device(handle)
+        return self._finish_image(heat, flip, bbox, img_h, name, img_id,
+                                  peaks)
+
     # ------------------------------------------------------------------
     # grouped multi-image dispatch (eval.group_size > 1)
     # ------------------------------------------------------------------
@@ -945,7 +1038,8 @@ class Evaluator:
                 # folded the mirror map in (fold_fn)
                 heat = orig_heat
             jl = joint_list_from_heatmaps(heat[:, :, :18], img_h, 1.0,
-                                          cfg.peaks.thre1)
+                                          cfg.peaks.thre1,
+                                          refine=cfg.peaks.refine)
         joints = drop_neck(jl)
         # detections from scale 1.0 only (reference tester.py:169)
         scale1 = det_scale_idx(len(orig_bbox))
@@ -1066,18 +1160,31 @@ class Evaluator:
         can keep collective-gather participation on failure)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        def fetch_and_finish(handle, img_h, name, img_id):
-            heat, bbox, flip, peaks = self._fetch_image_device(handle)
-            return self._finish_image(heat, flip, bbox, img_h, name, img_id,
-                                      peaks)
+        def fetch_and_finish(handle, img, mult, img_h, name, img_id):
+            return self._fetch_finish_escalating(handle, img, mult, bucket,
+                                                 img_h, name, img_id)
 
         def fetch_and_finish_group(handle, metas):
             # metas covers the REAL images only; padded replica rows at the
             # tail of the group are dropped
             outs = self._fetch_group_device(handle)
+            esc = self._peak_escalation_tier()
             res = []
-            for (heat, bbox, flip, peaks), (img_h, name, img_id) in zip(
+            for (heat, bbox, flip, peaks), (img, img_h, name, img_id) in zip(
                     outs, metas):
+                if (peaks is not None and esc
+                        and bool(np.asarray(peaks[2]).all(axis=-1).any())):
+                    # saturated crowd image: re-dispatch it alone at the
+                    # escalated tier through the single-image path
+                    logger.info(
+                        "%s: peak capacity saturated in group — "
+                        "re-dispatching at tier %d", name, esc)
+                    mult = get_multipliers(img_h, cfg.eval.inp_size,
+                                           cfg.eval.scale_search)
+                    h2 = self._dispatch_image_device(
+                        mult, img, bucket=bucket, with_flip=cfg.eval.flip,
+                        max_peaks=esc)
+                    heat, bbox, flip, peaks = self._fetch_image_device(h2)
                 res.extend(self._finish_image(heat, flip, bbox, img_h,
                                               name, img_id, peaks))
             return res
@@ -1095,7 +1202,7 @@ class Evaluator:
                     imgs, bucket=bucket, with_flip=cfg.eval.flip)
                 futures.append(pool.submit(
                     fetch_and_finish_group, handle,
-                    [(g[1], g[2], g[3]) for g in group]))
+                    [(g[0], g[1], g[2], g[3]) for g in group]))
 
             for n, img_id in enumerate(img_ids):
                 name = gt.load_imgs(img_id)[0]["file_name"]
@@ -1121,8 +1228,8 @@ class Evaluator:
                             mult, ori, bucket=bucket,
                             with_flip=cfg.eval.flip)
                         futures.append(pool.submit(
-                            fetch_and_finish, handle, ori.shape[0], name,
-                            img_id))
+                            fetch_and_finish, handle, ori, mult,
+                            ori.shape[0], name, img_id))
                     else:
                         orig_heat, orig_bbox, flip_heat, peaks = \
                             self._get_outputs(mult, ori, bucket=bucket,

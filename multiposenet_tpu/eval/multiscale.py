@@ -176,11 +176,13 @@ def find_peaks_np(heatmaps: np.ndarray, thre1: float = 0.1,
 
 
 def joint_list_from_heatmaps(heatmaps: np.ndarray, img_h: int, scale: float,
-                             thre1: float = 0.1) -> np.ndarray:
+                             thre1: float = 0.1,
+                             refine: bool = True) -> np.ndarray:
     """get_joint_list (reference joint_utils.py:141-152): rows
     [x, y, score, id, joint_type]."""
     per_type = find_peaks_np(heatmaps, thre1,
-                             img_h / float(heatmaps.shape[0]))
+                             img_h / float(heatmaps.shape[0]),
+                             refine=refine)
     for peaks in per_type:
         peaks[:, :2] *= scale
     rows = [tuple(p) + (j,) for j, peaks in enumerate(per_type) for p in peaks]

@@ -61,10 +61,12 @@ def test_crowded_image_capacity_clipping_is_logged(evaluators, caplog, monkeypat
     assert any("max_peaks_per_joint" in r.message for r in caplog.records)
     caplog.clear()
 
-    # box overflow: 6 people into max_people=4 — still processes the first 4
+    # box overflow: 6 people into max_people=4 with escalation DISABLED —
+    # still processes the first 4 and warns (the pre-escalation behavior)
     dev, _ = evaluators
     small_cfg = dataclasses.replace(
-        dev.cfg, prn=dataclasses.replace(dev.cfg.prn, max_people=4))
+        dev.cfg, prn=dataclasses.replace(dev.cfg.prn, max_people=4,
+                                         escalate_max_people=0))
     small = Evaluator(small_cfg, dev.model, dev.params)
     rng = np.random.RandomState(0)
     joints, boxes = _case(rng, n_people=6)
@@ -87,3 +89,92 @@ def test_device_and_host_prn_process_agree(evaluators):
             np.testing.assert_allclose(a["keypoints"], b["keypoints"],
                                        atol=1e-3, err_msg=str(trial))
             np.testing.assert_allclose(a["bbox"], b["bbox"])
+
+
+def test_prn_capacity_escalation_matches_unbounded(evaluators, caplog,
+                                                   monkeypatch):
+    """A crowd that overflows the base (max_peaks, max_people) tier is
+    re-processed at the escalated tier and matches an evaluator whose BASE
+    capacity already holds everything (the unbounded-twin check, reference
+    semantics: tester.py:338-350, 400-406) — with zero truncation warnings."""
+    import logging
+    from multiposenet_tpu.utils.logging import logger as mpn_logger
+    monkeypatch.setattr(mpn_logger, "propagate", True)
+
+    dev, _ = evaluators
+    rng = np.random.RandomState(11)
+    joints, boxes = _case(rng, n_people=5)  # 5 peaks/joint, 5 boxes
+
+    esc_cfg = dataclasses.replace(
+        dev.cfg,
+        peaks=dataclasses.replace(dev.cfg.peaks, max_peaks_per_joint=3,
+                                  escalate_max_peaks=16),
+        prn=dataclasses.replace(dev.cfg.prn, max_people=2,
+                                escalate_max_people=8))
+    esc = Evaluator(esc_cfg, dev.model, dev.params)
+    big_cfg = dataclasses.replace(
+        dev.cfg,
+        peaks=dataclasses.replace(dev.cfg.peaks, max_peaks_per_joint=16),
+        prn=dataclasses.replace(dev.cfg.prn, max_people=8))
+    big = Evaluator(big_cfg, dev.model, dev.params)
+
+    with caplog.at_level(logging.WARNING, logger="multiposenet_tpu"):
+        res_esc = esc.prn_process(list(map(list, joints)), boxes, "crowd", 1)
+        res_big = big.prn_process(list(map(list, joints)), boxes, "crowd", 1)
+    assert not caplog.records, [r.message for r in caplog.records]
+    assert len(res_esc) == len(res_big) == 5
+    for a, b in zip(res_esc, res_big):
+        assert a["score"] == b["score"]
+        np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+        np.testing.assert_array_equal(a["bbox"], b["bbox"])
+
+
+def test_fetch_finish_escalates_on_device_peak_saturation():
+    """When the base-tier device top-k saturates (a joint type fills every
+    slot), the whole image is re-dispatched once at the escalated capacity
+    and the escalated pass's peaks are the ones finished."""
+    from multiposenet_tpu.config import PeakConfig
+
+    ev = Evaluator.__new__(Evaluator)
+    ev.cfg = Config(peaks=PeakConfig(max_peaks_per_joint=4,
+                                     escalate_max_peaks=8))
+    sat = (np.zeros((18, 4, 2), np.float32), np.zeros((18, 4), np.float32),
+           np.ones((18, 4), bool))          # all slots valid = saturated
+    esc = (np.zeros((18, 8, 2), np.float32), np.zeros((18, 8), np.float32),
+           np.zeros((18, 8), bool))
+    dispatches = []
+
+    def fake_dispatch(mult, img, bucket=64, with_flip=False, max_peaks=None):
+        dispatches.append(max_peaks)
+        return "escalated-handle"
+
+    def fake_fetch(handle):
+        return None, [[]], None, (esc if handle == "escalated-handle" else sat)
+
+    ev._dispatch_image_device = fake_dispatch
+    ev._fetch_image_device = fake_fetch
+    ev._finish_image = (lambda heat, flip, bbox, img_h, name, img_id, peaks:
+                        [peaks[2].shape[1]])
+
+    out = ev._fetch_finish_escalating("base-handle", img=None,
+                                      multipliers=[1.0], bucket=64,
+                                      img_h=10, name="crowd.jpg", img_id=1)
+    assert out == [8] and dispatches == [8]
+
+    # unsaturated base pass: no re-dispatch
+    dispatches.clear()
+    ok = (sat[0], sat[1], np.zeros((18, 4), bool))
+    ev._fetch_image_device = lambda handle: (None, [[]], None, ok)
+    out = ev._fetch_finish_escalating("base-handle", img=None,
+                                      multipliers=[1.0], bucket=64,
+                                      img_h=10, name="ok.jpg", img_id=2)
+    assert out == [4] and dispatches == []
+
+    # escalation disabled: saturation only warns, never re-dispatches
+    ev.cfg = Config(peaks=PeakConfig(max_peaks_per_joint=4,
+                                     escalate_max_peaks=0))
+    ev._fetch_image_device = lambda handle: (None, [[]], None, sat)
+    out = ev._fetch_finish_escalating("base-handle", img=None,
+                                      multipliers=[1.0], bucket=64,
+                                      img_h=10, name="crowd.jpg", img_id=3)
+    assert out == [4] and dispatches == []
