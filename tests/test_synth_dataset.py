@@ -129,3 +129,49 @@ def test_eval_layout(synth_root):
     for a in coco.load_anns(coco.get_ann_ids(ids[0])):
         assert len(a["keypoints"]) == 17 * 3
         assert a["area"] > 0
+
+
+def test_crowd_scenes_generated(tmp_path):
+    """--crowd-frac 1.0 yields crowd images (>= 6 overlapping people) in
+    both the annotation json and the CMU keypoint records — the scenes the
+    gate uses to exercise PRN contention and capacity escalation."""
+    root = str(tmp_path / "crowds")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "make_synth_pose_dataset.py"),
+         "--root", root, "--n-train", "4", "--n-val", "2",
+         "--width", "320", "--height", "240", "--seed", "1",
+         "--crowd-frac", "1.0"],
+        check=True, env=env, capture_output=True)
+    with open(os.path.join(root, "annotations",
+                           "person_keypoints_val2017.json")) as f:
+        ann = json.load(f)
+    per_img = {}
+    for a in ann["annotations"]:
+        per_img[a["image_id"]] = per_img.get(a["image_id"], 0) + 1
+    assert max(per_img.values()) >= 6, per_img
+    with open(os.path.join(root, "COCO.json")) as f:
+        recs = json.load(f)["root"]
+    assert max(r["numOtherPeople"] for r in recs) >= 5
+
+
+def test_ap_floor_check_fails_on_regression(tmp_path):
+    """The gate's pass/fail logic: an AP 10% under the measured value must
+    FAIL against a floor set at measured-0.05 (VERDICT r3 item 5)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import check_ap_floor
+    finally:
+        sys.path.pop(0)
+    good = tmp_path / "good.json"
+    bad = tmp_path / "bad.json"
+    good.write_text(json.dumps({"AP": 0.630}))
+    bad.write_text(json.dumps({"AP": 0.630 * 0.9}))   # injected 10% drop
+    assert check_ap_floor.check(str(good), 0.58)
+    assert not check_ap_floor.check(str(bad), 0.58)
+    # a metrics file with no AP key can never pass
+    empty = tmp_path / "empty.json"
+    empty.write_text("{}")
+    assert not check_ap_floor.check(str(empty), 0.0)

@@ -66,10 +66,15 @@ CANON = {
 }
 
 
-def sample_person(rng, w, h):
-    """Random plausible figure fully inside the frame: (17,3) float array."""
+def sample_person(rng, w, h, h_range=None):
+    """Random plausible figure fully inside the frame: (17,3) float array.
+    `h_range` overrides the body-height range (crowd scenes use smaller,
+    overlapping figures)."""
     h_max = min(360.0, h - 24.0)          # body height ~= vertical span
-    H = rng.uniform(min(150.0, 0.6 * h_max), h_max)
+    if h_range is not None:
+        H = rng.uniform(h_range[0], min(h_range[1], h_max))
+    else:
+        H = rng.uniform(min(150.0, 0.6 * h_max), h_max)
     theta = np.deg2rad(rng.uniform(-15, 15))
     c, s = np.cos(theta), np.sin(theta)
     pts = np.array([CANON[n] for n in KEYPOINT_NAMES], np.float64) * H
@@ -144,6 +149,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--crowd-frac", type=float, default=0.25,
+                    help="fraction of images drawn as CROWDS (6-10 small "
+                         "overlapping figures) — exercises the PRN "
+                         "mutual-best contention, the fallback branch and "
+                         "the evaluator's crowd-capacity escalation")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -162,13 +172,20 @@ def main():
         split, tag = ("val2017", "val") if is_val else ("train2017", "train")
         img = background(rng, w, h)
         people = []
-        for _ in range(int(rng.integers(1, 4))):
-            p = sample_person(rng, w, h)
+        is_crowd = rng.random() < args.crowd_frac
+        if is_crowd:
+            n_want = int(rng.integers(6, 11))
+            h_range = (55.0, 140.0)
+        else:
+            n_want = int(rng.integers(1, 4))
+            h_range = None
+        for _ in range(n_want):
+            p = sample_person(rng, w, h, h_range=h_range)
             if p is not None:
                 people.append(p)
         retry = np.random.default_rng(args.seed + i)
         while not people:
-            p = sample_person(retry, w, h)
+            p = sample_person(retry, w, h, h_range=h_range)
             if p is not None:
                 people.append(p)
         for kp, H in people:

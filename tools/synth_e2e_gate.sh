@@ -25,8 +25,12 @@ export PYTHONPATH=$REPO:${PYTHONPATH:-}
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 cd "$REPO"
 
-[ -f "$ROOT/COCO.json" ] || python tools/make_synth_pose_dataset.py \
-    --root "$ROOT" --n-train 128 --n-val 16 --width 320 --height 240 || exit 1
+# dataset v2: 30% CROWD scenes (6-10 small overlapping figures) so the PRN
+# fallback/contention branches AND the evaluator's crowd-capacity
+# escalation run under the gate; the marker regenerates stale v1 data
+[ -f "$ROOT/.v2_crowds" ] || { python tools/make_synth_pose_dataset.py \
+    --root "$ROOT" --n-train 128 --n-val 16 --width 320 --height 240 \
+    --crowd-frac 0.3 && touch "$ROOT/.v2_crowds"; } || exit 1
 
 # newest best-copy = lowest val loss; sort on the BASENAME (the save dir
 # path may itself contain underscores and would shift the sort field)
@@ -53,17 +57,16 @@ python -m multiposenet_tpu.cli train --subnet prn \
   --batch-size 8 --lr 1e-3 --max-epoch 12 --num-workers 4 \
   --save-dir "$SAVE" --exp-name prn --init-params "$(best det)" || exit 1
 
-# full multi-scale + flip protocol on the synthetic val split + AP floor
+# full multi-scale + flip protocol on the synthetic val split + AP floor.
+# Base capacities are deliberately LOW (8 peaks/joint, 8 people) so the
+# 6-10-person crowd scenes SATURATE them and the escalation tiers
+# (re-dispatch at cfg.peaks.escalate_max_peaks / prn.escalate_max_people)
+# run under the gate — output must match unbounded processing, so the AP
+# floor also guards the escalation path.
 python -m multiposenet_tpu.cli coco-eval \
   --coco-root "$ROOT" --backbone resnet50 --ckpt "$(best prn)" \
+  --max-peaks 8 --max-people 8 \
   --result-file "$SAVE/gate_results.json" \
   --metrics-file "$SAVE/gate_metrics.json" || exit 1
 
-python - "$SAVE/gate_metrics.json" "$FLOOR" <<'EOF' || exit 1
-import json, sys
-m = json.load(open(sys.argv[1])); floor = float(sys.argv[2])
-ap = m.get("AP", -1.0)
-ok = ap >= floor
-print(f"synth-E2E gate: AP={ap:.3f} floor={floor} -> {'PASS' if ok else 'FAIL'}")
-sys.exit(0 if ok else 1)
-EOF
+python tools/check_ap_floor.py "$SAVE/gate_metrics.json" "$FLOOR" || exit 1
