@@ -64,7 +64,13 @@ def build_config(args, subnet: str):
     tr["ckpt"] = args.ckpt
     train = dataclasses.replace(cfg.train, subnet=subnet or cfg.train.subnet,
                                 **tr)
-    return dataclasses.replace(cfg, model=model, data=data, train=train)
+    # --inp-size also sets the EVAL base size (reference TestParams.inp_size,
+    # tester.py:87 — the multi-scale search scales off it); without this the
+    # flag would silently not affect coco-eval/test/precompile
+    ev = (dataclasses.replace(cfg.eval, inp_size=args.inp_size)
+          if args.inp_size else cfg.eval)
+    return dataclasses.replace(cfg, model=model, data=data, train=train,
+                               eval=ev)
 
 
 def make_loaders(cfg, subnet: str, training: bool):
@@ -261,7 +267,9 @@ def cmd_coco_eval(args):
     metrics = ev.coco_eval(max_images=args.max_images,
                            result_file=args.result_file, bucket=args.bucket,
                            shard=shard, skip_metrics=shard != (0, 1))
-    if args.metrics_file and metrics:
+    if args.metrics_file and shard == (0, 1) and dist.is_primary():
+        # always written when requested (empty dict when no detections) so
+        # downstream gates/diffs read a definite verdict, not a missing file
         import json
         with open(args.metrics_file, "w") as f:
             json.dump(metrics, f, indent=2)
@@ -343,6 +351,15 @@ def cmd_export_torch(args):
 
 
 def main(argv=None):
+    # MPN_PLATFORM=cpu pins the JAX backend for this CLI process (e.g. CPU
+    # dry runs of the parity runbook on machines whose sitecustomize pins a
+    # TPU default; JAX_PLATFORMS can be overridden by such config, this
+    # cannot).  Must run before first device use.
+    plat = os.environ.get("MPN_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
     p = argparse.ArgumentParser("multiposenet_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

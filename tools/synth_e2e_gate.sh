@@ -70,3 +70,13 @@ python -m multiposenet_tpu.cli coco-eval \
   --metrics-file "$SAVE/gate_metrics.json" || exit 1
 
 python tools/check_ap_floor.py "$SAVE/gate_metrics.json" "$FLOOR" || exit 1
+
+# AP-evidence ablation matrix on the freshly trained checkpoint: every
+# bounded eval-path toggle (bf16, fold-bn, host chain, XLA NMS, host
+# grouping) must stay within |dAP| <= 0.02 of the default device path —
+# protocol-level evidence for each numerics-only default (tools/
+# ap_ablation.py; VERDICT r3 item 1).  ABLATIONS=0 skips.
+if [ "${ABLATIONS:-1}" = 1 ]; then
+  python tools/ap_ablation.py --coco-root "$ROOT" --ckpt "$(best prn)" \
+    --backbone resnet50 --out-dir "$SAVE/ablation" --assert-tol 0.02 || exit 1
+fi
