@@ -307,7 +307,7 @@ def make_detection_steps(model: PoseNet, cfg: Config, tx, mask,
 
 def make_prn_steps(model: PoseNet, cfg: Config, tx, mask,
                    mesh: Optional[Mesh] = None,
-                   grid_impl: str = "matmul"):
+                   grid_impl: str = "conv"):
     """batch = {'weights_marks': (B,gh,gw,17) f32 one-hot multi-person marks,
                 'label_marks':   (B,gh,gw,17) f32 one-hot own-person marks}
 
@@ -315,13 +315,15 @@ def make_prn_steps(model: PoseNet, cfg: Config, tx, mask,
     (prn_data_pipeline.py:105-107: weights sigma=1 'nearest', labels sigma=2
     'constant') run here on device, batched.
 
-    grid_impl: 'matmul' (default) builds the grids as dense blur-operator
-    matmuls — the formulation that won in the inference PRN stage
-    (engine/inference.py make_prn_pipeline) because the depthwise-conv
-    edge-pad shuffles bad layouts; 'conv' keeps the separable depthwise
-    convolution for A/B measurement (tools/bench_train_mfu.py --prn-grids).
-    Both are exactly equivalent (tests/test_ops.py::
-    test_blur_matrix_equals_separable_gaussian_blur).
+    grid_impl selects the blur formulation; both are exactly equivalent
+    (tests/test_train_steps.py::test_prn_grid_impls_equivalent).  MEASURED
+    round 4 on v5e (bf16, batch 256, tools/bench_train_mfu.py --prn-grids):
+    'conv' (separable depthwise) 8.5-8.9 ms/step vs 'matmul' (the dense
+    blur-operator einsums that WIN inside the batch-64 fused INFERENCE
+    graph, engine/inference.py) 10.6 ms/step.  In the train step the marks
+    are already dense (B,gh,gw,17) activations in a conv-friendly layout,
+    so the depthwise conv keeps the win and stays the default; docs/PERF.md
+    "Training roofline" records both.
     """
     gh, gw = cfg.model.prn_height, cfg.model.prn_width
 

@@ -34,11 +34,13 @@ def blur_matrix(n: int, sigma: float = 1.0, mode: str = "nearest",
     in.  blur_matrix(n) @ x == gaussian_blur along that axis, EXACTLY (blur
     is linear; 'nearest' replication only changes the operator's edge rows).
 
-    Utility for expressing the blur as matmuls.  NOTE: the PRN grid build in
-    engine/inference.py deliberately does NOT use it — on v5e the dense-
-    matmul formulation measured >10x slower than scatter-max + separable
-    conv (tiny matrices pad terribly onto 128x128 MXU tiles; see the
-    equivalence tests in tests/test_ops.py and docs/ROADMAP.md item 5).
+    Utility for expressing the blur as matmuls.  Who uses which (measured,
+    docs/PERF.md): the INFERENCE PRN stage builds grids with these matmuls
+    (they beat the depthwise conv's edge-pad layout shuffles inside the
+    batch-64 fused graph, engine/inference.py); the TRAIN step keeps the
+    separable `gaussian_blur` conv (8.5-8.9 vs 10.6 ms/step at batch 256 —
+    its marks are already dense conv-friendly activations,
+    engine/train_steps.make_prn_steps).
 
     Returned array is read-only (lru_cache shares one instance).
     """

@@ -83,6 +83,9 @@ def test_build_config_applies_overrides(coco_tree):
     assert cfg.train.init_lr == 2e-4
     assert cfg.train.max_epoch == 3
     assert cfg.data.json_path.endswith("COCO.json")
+    # --inp-size also drives the EVAL base size (reference TestParams
+    # inp_size, tester.py:87) — eval commands were silently ignoring it
+    assert cfg.eval.inp_size == 96
     # stage presets survive (keypoint subnet)
     assert cfg.train.subnet == "keypoint"
 
