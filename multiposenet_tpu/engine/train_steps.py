@@ -167,11 +167,23 @@ def create_train_state(model: PoseNet, cfg: Config, rng, image_hw,
 
 
 def _apply_updates(state: TrainState, grads, tx, mask, lr, new_batch_stats):
-    grads = jax.tree.map(lambda g, m: jnp.where(m, g, 0.0), grads,
-                         jax.tree.map(jnp.asarray, mask))
+    """Apply -lr-scaled optimizer updates to the TRAINABLE leaves only.
+
+    Frozen leaves are skipped at the PYTHON level (`mask` is a static bool
+    tree): their param buffers pass through the step untouched and their
+    gradients become dead values XLA dead-code-eliminates — including the
+    entire backward through frozen-only subgraphs.  Measured round 4 on
+    v5e (docs/PERF.md "Training roofline"): the detection stage no longer
+    computes the frozen ResNet trunk's weight gradients at all, and the
+    keypoint/PRN stages stop materializing + rewriting zero-update frozen
+    params (e.g. the 71M-param PRN MLP inside the keypoint step).
+    `optax.masked` already keeps optimizer state (and the inf-norm clip's
+    reduction set) restricted to the same trainable leaves, so the update
+    math is bit-identical to the old where-mask formulation."""
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    updates = jax.tree.map(lambda u: -lr * u, updates)
-    new_params = optax.apply_updates(state.params, updates)
+    new_params = jax.tree.map(
+        lambda p, u, m: optax.apply_updates(p, -lr * u) if m else p,
+        state.params, updates, mask)
     return state.replace(step=state.step + 1, params=new_params,
                          batch_stats=new_batch_stats, opt_state=new_opt)
 

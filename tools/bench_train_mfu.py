@@ -71,9 +71,10 @@ def main():
     ap.add_argument("--backbone", default="resnet101")
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--prn-grids", default="matmul", choices=["matmul", "conv"],
+    ap.add_argument("--prn-grids", default="conv", choices=["matmul", "conv"],
                     help="PRN grid-build formulation A/B (train_steps."
-                         "make_prn_steps grid_impl)")
+                         "make_prn_steps grid_impl; 'conv' is the measured "
+                         "winner and the step default)")
     args = ap.parse_args()
 
     import jax
