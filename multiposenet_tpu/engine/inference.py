@@ -331,6 +331,21 @@ def make_prn_pipeline(model: PoseNet, cfg: Config):
     in_thres = cfg.prn.in_thres
     nwin = cfg.prn.score_window
     half = (nwin - 1) // 2
+    # Grid-build dtype: under a bf16 compute dtype the PRN MLP rounds its
+    # input grids to bf16 anyway (subnets.py PRN.__call__ astype), so the
+    # one-hot counts and blur matmuls run in bf16 directly — per-cell
+    # counts are <= max_peaks <= 256 and exact in bf16's 8-bit
+    # significand, and rounding the blur weights (<= 2^-9 relative) sits
+    # below the quantization the grids already undergo at the MLP
+    # boundary.  Keeping f32 intermediates only to round them there cost
+    # ~4 ms/exec of layout copies + a convert on the (64, 20, 56, 36, 17)
+    # tensors in the batched e2e graph (docs/PERF.md round-4 trace).  f32
+    # configs keep the f32 HIGHEST build bit-exactly as before — the eval
+    # default path is untouched.
+    grid_dt = (jnp.bfloat16 if cfg.model.compute_dtype == jnp.bfloat16
+               else jnp.float32)
+    grid_prec = (None if grid_dt == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
 
     @jax.jit
     def run(params, peak_xy, peak_score, peak_valid, boxes_xywh, box_valid):
@@ -363,14 +378,14 @@ def make_prn_pipeline(model: PoseNet, cfg: Config):
         # min(.,1) reproduces the max-dedupe exactly (equivalence tests:
         # tests/test_ops.py::test_onehot_contraction_*).
         hi = jax.lax.Precision.HIGHEST
-        insf = inside.astype(jnp.float32)
-        oh_y = (y0[..., None] == jnp.arange(gh)).astype(jnp.float32)
-        oh_x = (x0[..., None] == jnp.arange(gw)).astype(jnp.float32)
+        insf = inside.astype(grid_dt)
+        oh_y = (y0[..., None] == jnp.arange(gh)).astype(grid_dt)
+        oh_x = (x0[..., None] == jnp.arange(gw)).astype(grid_dt)
         # default precision is EXACT here: operands are 0/1 (no bf16
         # truncation possible) and the MXU accumulates in f32, so the
         # integer counts (<= P) are exact without HIGHEST's extra passes
         cnt = jnp.einsum("bjpy,bjpx->byxj", oh_y * insf[..., None], oh_x)
-        marks = jnp.minimum(cnt, 1.0)
+        marks = jnp.minimum(cnt, jnp.asarray(1.0, grid_dt))
 
         # gaussian-blur each person grid (tester.py:396-398, sigma=1
         # 'nearest') as two dense blur-operator matmuls (ops/gaussian.
@@ -379,10 +394,10 @@ def make_prn_pipeline(model: PoseNet, cfg: Config):
         # The depthwise-conv formulation edge-pads and shuffles
         # (B, gh+pad, gw, J) f32 tensors through bad layouts (~5 ms/exec
         # at batch 64); the two matmuls are ~8 GFLOPs on the MXU.
-        by = jnp.asarray(blur_matrix(gh, 1.0, "nearest"))
-        bx = jnp.asarray(blur_matrix(gw, 1.0, "nearest"))
-        g1 = jnp.einsum("yh,bhxj->byxj", by, marks, precision=hi)
-        grids = jnp.einsum("xw,bywj->byxj", bx, g1, precision=hi)
+        by = jnp.asarray(blur_matrix(gh, 1.0, "nearest"), grid_dt)
+        bx = jnp.asarray(blur_matrix(gw, 1.0, "nearest"), grid_dt)
+        g1 = jnp.einsum("yh,bhxj->byxj", by, marks, precision=grid_prec)
+        grids = jnp.einsum("xw,bywj->byxj", bx, g1, precision=grid_prec)
 
         prn_out = model.apply(params, grids, method=PoseNet.prn_forward)
 

@@ -110,6 +110,45 @@ def test_e2e_matches_per_image_host_path(setup):
 
 
 @pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
+def test_bf16_prn_pipeline_matches_f32_structure(setup):
+    """Under a bf16 compute dtype the PRN pipeline builds its grids in
+    bf16 (engine/inference.py grid_dt): the integer/boolean outputs
+    (inside, x0, y0) must be BIT-identical to the f32 config's, and the
+    score tables within the bf16 drift band (the MLP itself also runs
+    bf16 there — same rounding the --bf16 eval toggle already carries,
+    ablation-bounded in docs/PERF.md)."""
+    from multiposenet_tpu.engine.inference import make_prn_pipeline
+
+    cfg, model, params, _ = setup
+    cfg16 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model,
+                                       compute_dtype=jnp.bfloat16))
+    rng = np.random.RandomState(3)
+    J, P, B = 17, cfg.peaks.max_peaks_per_joint, cfg.prn.max_people
+    peak_xy = jnp.asarray(rng.rand(J, P, 2).astype(np.float32) * SIZE)
+    peak_valid = jnp.asarray(rng.rand(J, P) > 0.4)
+    peak_score = jnp.where(peak_valid, 1.0, -1.0)
+    boxes = np.zeros((B, 4), np.float32)
+    boxes[:, :2] = rng.rand(B, 2) * SIZE * 0.4
+    boxes[:, 2:] = 16 + rng.rand(B, 2) * (SIZE * 0.5)
+    box_valid = jnp.ones((B,), bool)
+    args = (peak_xy, peak_score, peak_valid, jnp.asarray(boxes), box_valid)
+
+    t32, in32, _, x32, y32 = make_prn_pipeline(model, cfg)(params, *args)
+    t16, in16, _, x16, y16 = make_prn_pipeline(
+        PoseNet(cfg16.model), cfg16)(params, *args)
+
+    np.testing.assert_array_equal(np.asarray(in16), np.asarray(in32))
+    np.testing.assert_array_equal(np.asarray(x16), np.asarray(x32))
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y32))
+    # tables are window-sums of ~1e-4 softmax mass: drift stays well
+    # inside the band measured for the full --bf16 toggle
+    np.testing.assert_allclose(np.asarray(t16), np.asarray(t32),
+                               atol=2e-4)
+    assert float(np.abs(np.asarray(t32)).max()) > 0  # non-vacuous
+
+
+@pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_sharded_e2e_matches_single_device(setup):
     """Item: mesh-sharded serving. The batch-sharded pipeline over the full
     8-device CPU mesh must produce the same assignments as the unsharded

@@ -420,6 +420,49 @@ def test_onehot_contraction_equals_scatter_max_blur():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
+def test_bf16_grid_build_counts_exact_and_blur_bounded():
+    """The bf16 PRN grid build (engine/inference.py under a bf16 compute
+    dtype) must keep the one-hot cell COUNTS exact — integers <= 256 are
+    representable in bf16's 8-bit significand, covering the escalated
+    128-peak tier — and its blurred grids within bf16 quantization
+    (~2^-8 relative on [0, 1] values) of the f32 HIGHEST build."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from multiposenet_tpu.ops.gaussian import blur_matrix
+
+    gh, gw, J = 56, 36, 17
+    P = 250  # above the escalated 128-peak tier, still bf16-exact
+    rng = np.random.RandomState(2)
+    y0 = rng.randint(0, gh, (J, P))
+    x0 = rng.randint(0, gw, (J, P))
+    inside = rng.rand(J, P) > 0.3
+    # force a worst-case pile-up: every peak of joint 0 in ONE cell
+    y0[0] = 11; x0[0] = 9; inside[0] = True
+
+    def build(dt, prec):
+        oh_y = jax.nn.one_hot(jnp.asarray(y0), gh, dtype=dt) \
+            * jnp.asarray(inside, dt)[..., None]
+        oh_x = jax.nn.one_hot(jnp.asarray(x0), gw, dtype=dt)
+        cnt = jnp.einsum("jpy,jpx->jyx", oh_y, oh_x)
+        marks = jnp.minimum(cnt, jnp.asarray(1.0, dt))
+        by = jnp.asarray(blur_matrix(gh, 1.0, "nearest"), dt)
+        bx = jnp.asarray(blur_matrix(gw, 1.0, "nearest"), dt)
+        g = jnp.einsum("yY,jYx->jyx", by, marks, precision=prec)
+        return cnt, jnp.einsum("xX,jyX->jyx", bx, g, precision=prec)
+
+    cnt16, g16 = build(jnp.bfloat16, None)
+    cnt32, g32 = build(jnp.float32, jax.lax.Precision.HIGHEST)
+
+    # counts exact (the P-peak pile-up lands exactly at P in bf16)
+    np.testing.assert_array_equal(np.asarray(cnt16, np.float32),
+                                  np.asarray(cnt32))
+    assert float(np.asarray(cnt16, np.float32).max()) == P
+    # blurred grids within bf16 quantization of the f32 build
+    diff = np.abs(np.asarray(g16, np.float32) - np.asarray(g32))
+    assert diff.max() < 8e-3, diff.max()
+
+
 def test_cubic_resize_matrix_matches_cv2():
     """Dense bicubic operators must equal cv2.resize INTER_CUBIC (float
     path, A=-0.75, replicate borders) to float rounding."""
