@@ -449,11 +449,10 @@ class Evaluator:
         maxb = self.cfg.prn.max_people
         esc_p = self.cfg.peaks.escalate_max_peaks
         esc_b = self.cfg.prn.escalate_max_people
-        need_p = 0
         counts = [0] * NUM_J17
         for row in joint_list:
             counts[int(row[4])] += 1
-        need_p = max(counts) if counts else 0
+        need_p = max(counts)
         if ((need_p > maxp and esc_p > maxp)
                 or (n_boxes > maxb and esc_b > maxb)):
             logger.info(
@@ -643,21 +642,32 @@ class Evaluator:
             det_shapes = set(shapes)
             nodet_shapes = set()
         hm_dtype = jnp.float32
+        # group mode re-dispatches a SATURATED crowd image alone through the
+        # single-image path (fetch_and_finish_group), so with an escalation
+        # tier configured the batch-nb forwards (and the single-image
+        # pyramid below) must be warm too or that image cold-compiles
+        # mid-eval
+        esc_single = use_groups and self._peak_escalation_tier()
+        batch_sizes = [bs] + ([nb] if esc_single else [])
         for i, hw in enumerate(shapes):
             variants = ([True] if hw in det_shapes else []) + \
                 ([False] if hw in nodet_shapes else [])
-            logger.info("precompile %d/%d: %dx%d (batch %d, det %s)",
-                        i + 1, len(shapes), hw[0], hw[1], bs, variants)
-            # uint8, matching what _get_outputs uploads (dtype is part of
-            # the compile key)
-            dummy = jnp.full((bs, hw[0], hw[1], 3), 128, jnp.uint8)
-            for wd in variants:
-                out = self.pipeline(hw, with_peaks=False,
-                                    with_detections=wd)(self.params, dummy)
-                jax.block_until_ready(out)
-                # under --bf16 the heatmaps arrive in bfloat16; the fold
-                # warms below must match or the real eval cold-compiles
-                hm_dtype = out.heatmaps.dtype
+            logger.info("precompile %d/%d: %dx%d (batch %s, det %s)",
+                        i + 1, len(shapes), hw[0], hw[1], batch_sizes,
+                        variants)
+            for wb in batch_sizes:
+                # uint8, matching what _get_outputs uploads (dtype is part
+                # of the compile key)
+                dummy = jnp.full((wb, hw[0], hw[1], 3), 128, jnp.uint8)
+                for wd in variants:
+                    out = self.pipeline(hw, with_peaks=False,
+                                        with_detections=wd)(self.params,
+                                                            dummy)
+                    jax.block_until_ready(out)
+                    # under --bf16 the heatmaps arrive in bfloat16; the
+                    # fold warms below must match or the real eval
+                    # cold-compiles
+                    hm_dtype = out.heatmaps.dtype
 
         if self.cfg.eval.device_resize:
             pad_to = max(bucket, 1)
@@ -749,10 +759,18 @@ class Evaluator:
                         grouped_eval.precompile_grouped_pyramid(
                             self, h, w, dests, bucket, self.cfg.eval.flip,
                             gs, hp, wp, warmed)
-                        continue
+                        if not esc_single:
+                            continue
+                        # fall through: the escalation re-dispatch builds
+                        # this image's pyramid through the single-image jit
                     ipack, wpack, dims, metas = self._pyramid_host_args(
                         h, w, dests, bucket, self.cfg.eval.flip)
-                    ckey = ((hp, wp), tuple(mm[0] for mm in metas))
+                    # "single" tag: grouped warms share this set and their
+                    # ckey has the same shape — without the tag a grouped
+                    # warm would suppress the single-image warm (or vice
+                    # versa) when both run (escalation under group mode)
+                    ckey = ("single", (hp, wp),
+                            tuple(mm[0] for mm in metas))
                     if ckey in warmed:
                         continue
                     warmed.add(ckey)

@@ -37,7 +37,10 @@ def draw_person(canvas: np.ndarray, joints: Sequence[Sequence[float]],
     """Draw one person's bbox, joints and limb sticks onto ``canvas``."""
     j = np.asarray(joints, dtype=np.float64).reshape(17, 3)
     xy = j[:, :2].astype(np.int64)
-    visible = j[:, 2] != 0
+    # visibility via int-truncation like the reference (joint_utils.py:164
+    # ``int(joints[i][2]) == 0`` skips): a fractional v in (0, 1) counts
+    # as NOT visible
+    visible = j[:, 2].astype(np.int64) != 0
 
     bx, by, bw, bh = (float(v) for v in bbox[:4])
     cv2.rectangle(canvas, (int(bx), int(by)), (int(bx + bw), int(by + bh)),

@@ -29,6 +29,20 @@ def test_invisible_joints_not_drawn():
     assert not inner.any()
 
 
+def test_fractional_visibility_truncates_like_reference():
+    """The reference skips a joint when int(v) == 0 (joint_utils.py:164):
+    a fractional confidence v in (0, 1) must NOT draw the dot."""
+    canvas = np.zeros((100, 100, 3), np.uint8)
+    joints = [[50, 50, 0.5]] * 17  # int(0.5) == 0 -> invisible
+    out = draw_person(canvas, joints, [0, 0, 10, 10])
+    inner = out[25:95, 25:95]
+    assert not inner.any()
+    # v=1.5 truncates to 1 -> visible
+    out2 = draw_person(np.zeros((100, 100, 3), np.uint8),
+                       [[50, 50, 1.5]] * 17, [0, 0, 10, 10])
+    assert out2[25:95, 25:95].any()
+
+
 def test_plot_results_multiple_people():
     canvas = np.zeros((120, 120, 3), np.uint8)
     results = []

@@ -72,7 +72,10 @@ def sample_person(rng, w, h, h_range=None):
     overlapping figures)."""
     h_max = min(360.0, h - 24.0)          # body height ~= vertical span
     if h_range is not None:
-        H = rng.uniform(h_range[0], min(h_range[1], h_max))
+        # clamp BOTH bounds to the frame: for small frames h_max can fall
+        # below h_range[0] and a reversed uniform interval is undefined
+        hi_b = min(h_range[1], h_max)
+        H = rng.uniform(min(h_range[0], hi_b), hi_b)
     else:
         H = rng.uniform(min(150.0, 0.6 * h_max), h_max)
     theta = np.deg2rad(rng.uniform(-15, 15))
