@@ -171,6 +171,30 @@ def test_precompile_warms_every_shape_once():
     assert all(bs == 1 for _, bs in ev.called)    # no flip -> batch 1
 
 
+def test_precompile_group_mode_warms_escalation_batches():
+    """Group-mode eval re-dispatches a SATURATED crowd image alone through
+    the single-image path (fetch_and_finish_group), so with an escalation
+    tier configured precompile must warm the per-scale forwards at BOTH
+    the group batch (gs*nb) and the single-image batch (nb) — otherwise
+    the first saturated crowd cold-compiles mid-eval."""
+    import dataclasses
+    from multiposenet_tpu.config import Config
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, inp_size=128,
+                                      scale_search=(0.5, 1.0), flip=False,
+                                      group_size=4))
+    ev = _stub_evaluator(cfg)
+    # the stub disables the device path; force the two gates the warm
+    # logic consults (instance attrs shadow the methods)
+    ev._use_groups = lambda: True
+    ev._peak_escalation_tier = lambda: 128
+    shapes = ev.precompile([(160, 224), (128, 128)], bucket=64)
+    for hw in shapes:
+        batches = sorted(bs for s, bs in ev.called if s == hw)
+        assert batches == [1, 4], (hw, batches)  # nb AND gs*nb
+
+
 def test_full_pipeline_with_peaks_switch_shapes():
     """with_peaks=False must drop only the peak outputs (shape-level check,
     no compile)."""
