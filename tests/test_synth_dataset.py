@@ -175,3 +175,41 @@ def test_ap_floor_check_fails_on_regression(tmp_path):
     empty = tmp_path / "empty.json"
     empty.write_text("{}")
     assert not check_ap_floor.check(str(empty), 0.0)
+
+
+def test_ap_ablation_assertions(tmp_path, monkeypatch):
+    """ap_ablation's two assertion layers: bounded toggles fail past
+    |dAP| > tol, and EXACT toggles (xla_nms) fail on ANY summary-stat
+    difference even inside the tolerance (the 2026-08-20 gate measured
+    them protocol-identical; this keeps that an invariant)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import ap_ablation
+    finally:
+        sys.path.pop(0)
+
+    base = {"AP": 0.643, "AP50": 0.783}
+
+    def fake_eval(metrics_by_name):
+        def run_eval(repo, args, name, flags, out_dir):
+            return dict(metrics_by_name.get(name, base))
+        return run_eval
+
+    argv = ["--coco-root", "r", "--ckpt", "c",
+            "--out-dir", str(tmp_path), "--assert-tol", "0.02"]
+
+    # all equal -> PASS
+    monkeypatch.setattr(ap_ablation, "run_eval", fake_eval({}))
+    assert ap_ablation.main(argv) == 0
+    # a bounded toggle 0.03 off -> FAIL
+    monkeypatch.setattr(ap_ablation, "run_eval", fake_eval(
+        {"bf16": {"AP": 0.613, "AP50": 0.783}}))
+    assert ap_ablation.main(argv) == 1
+    # xla_nms off by 1e-6 (inside the tolerance) -> still FAIL (exact)
+    monkeypatch.setattr(ap_ablation, "run_eval", fake_eval(
+        {"xla_nms": {"AP": 0.643 + 1e-6, "AP50": 0.783}}))
+    assert ap_ablation.main(argv) == 1
+    # host_grouping off by 1e-6 -> PASS (tolerance-bounded, tie-sensitive)
+    monkeypatch.setattr(ap_ablation, "run_eval", fake_eval(
+        {"host_grouping": {"AP": 0.643 + 1e-6, "AP50": 0.783}}))
+    assert ap_ablation.main(argv) == 0

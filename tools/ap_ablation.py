@@ -44,6 +44,16 @@ TOGGLES = [
                                             # not bounded
 ]
 
+# Toggles whose path claims BIT-identical protocol output, not just a
+# bounded AP delta: the Pallas and XLA NMS run the same suppression math
+# on the same operands (ops/nms.py vs ops/pallas_nms.py, results
+# identical by construction and by fuzz tests).  With --assert-tol these
+# must match the default run's summary stats EXACTLY (measured so on the
+# 2026-08-20 gate run).  host_grouping matched exactly there too but
+# stays tolerance-bounded: a razor score-tie can legitimately order two
+# people differently between the device and host greedy assignments.
+EXACT = {"xla_nms"}
+
 
 def run_eval(repo, args, name, flags, out_dir):
     metrics = os.path.join(out_dir, f"metrics_{name}.json")
@@ -107,6 +117,10 @@ def main(argv=None):
         if (args.assert_tol is not None and bounded
                 and abs(dap) > args.assert_tol):
             failures.append((name, dap))
+        if args.assert_tol is not None and name in EXACT and m != base:
+            diff_keys = sorted(k for k in set(m) | set(base)
+                               if m.get(k) != base.get(k))
+            failures.append((name, f"not protocol-identical: {diff_keys}"))
     table = "\n".join(lines)
     print(table)
     with open(os.path.join(args.out_dir, "ablation_table.md"), "w") as f:
