@@ -13,10 +13,11 @@ mesh-sharded step function:
   prn stage      : sparse peak/label marks -> gaussian grids ON DEVICE
 
 Parameter freezing (the reference's requires_grad loops,
-multipose_*_train.py) is arithmetic: gradients outside the stage's trainable
-set are zeroed and `optax.masked` keeps optimizer state only for trainable
-leaves.  Learning rate arrives as a step argument so the host-side plateau
-scheduler never triggers a recompile.
+multipose_*_train.py) is structural: `_apply_updates` skips frozen leaves at
+the Python level (they pass through the update untouched, so XLA dead-code
+-eliminates their backward entirely) and `optax.masked` keeps optimizer
+state only for trainable leaves.  Learning rate arrives as a step argument
+so the host-side plateau scheduler never triggers a recompile.
 """
 
 from __future__ import annotations

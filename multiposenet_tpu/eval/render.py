@@ -37,10 +37,15 @@ def draw_person(canvas: np.ndarray, joints: Sequence[Sequence[float]],
     """Draw one person's bbox, joints and limb sticks onto ``canvas``."""
     j = np.asarray(joints, dtype=np.float64).reshape(17, 3)
     xy = j[:, :2].astype(np.int64)
-    # visibility via int-truncation like the reference (joint_utils.py:164
-    # ``int(joints[i][2]) == 0`` skips): a fractional v in (0, 1) counts
-    # as NOT visible
+    # Dot visibility via int-truncation like the reference's dot check
+    # (joint_utils.py:164 ``int(joints[i][2]) == 0`` skips): a fractional
+    # v in (0, 1) counts as NOT visible for dots.  The reference's LIMB
+    # check is a float compare (``joints[a][2] == 0`` skips), so limbs use
+    # the un-truncated mask — for fractional v the reference draws the
+    # limb but not the dot, and so do we.  In-protocol v is always exactly
+    # 0 or 1, where the two masks agree.
     visible = j[:, 2].astype(np.int64) != 0
+    limb_visible = j[:, 2] != 0
 
     bx, by, bw, bh = (float(v) for v in bbox[:4])
     cv2.rectangle(canvas, (int(bx), int(by)), (int(bx + bw), int(by + bh)),
@@ -54,7 +59,7 @@ def draw_person(canvas: np.ndarray, joints: Sequence[Sequence[float]],
     # angle for every limb at once.  The reference computes these one limb
     # at a time inside its loop; here the loop only rasterizes.
     ends = xy[LIMB_SEQ]                         # (16, 2, 2) int endpoints
-    limb_ok = visible[LIMB_SEQ].all(axis=1)     # both endpoints visible
+    limb_ok = limb_visible[LIMB_SEQ].all(axis=1)  # both endpoints visible
     mids = ends.astype(np.float64).mean(axis=1)  # (16, 2)
     deltas = (ends[:, 0] - ends[:, 1]).astype(np.float64)
     half_lens = np.hypot(deltas[:, 0], deltas[:, 1]) / 2.0

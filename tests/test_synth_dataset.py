@@ -177,6 +177,47 @@ def test_ap_floor_check_fails_on_regression(tmp_path):
     assert not check_ap_floor.check(str(empty), 0.0)
 
 
+def test_gate_truncation_check(tmp_path):
+    """The gate's zero-truncation assert (VERDICT r4 item 2): any
+    WARNING-level capacity-drop line in the coco-eval log fails; the
+    INFO escalation re-dispatch lines (the intended path — taken
+    verbatim from the round-4 passing gate log) do not."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import check_ap_floor
+    finally:
+        sys.path.pop(0)
+    clean = tmp_path / "clean.log"
+    clean.write_text(
+        "2026-08-20 09:13:20,486 INFO multiposenet_tpu: 000000000130.jpg: "
+        "peak capacity 8 saturated — re-dispatching at the escalated "
+        "tier 128\n"
+        "2026-08-20 09:14:15,143 INFO multiposenet_tpu: 000000000130.jpg: "
+        "crowd overflow (9 peaks/joint, 7 boxes) — escalating PRN "
+        "capacity to (128 peaks, 256 people)\n")
+    assert check_ap_floor.check_no_truncation(str(clean))
+    for bad_line in [
+        # evaluator.py:78 (_joints_to_peak_arrays overflow)
+        "WARNING multiposenet_tpu: img.jpg: dropped 3 peak(s) over the "
+        "per-joint capacity 8 — raise cfg.peaks.escalate_max_peaks",
+        # evaluator.py:487 (PRN person-capacity overflow)
+        "WARNING multiposenet_tpu: img.jpg: 12 person boxes exceed the "
+        "PRN person capacity 8; the 4 lowest-ranked are dropped",
+        # evaluator.py:98 (device top-k saturation)
+        "WARNING multiposenet_tpu: device peak capacity saturated for "
+        "joint type(s) [0] (capacity 8): the on-device top-k may have "
+        "truncated lower-scoring peaks",
+    ]:
+        log = tmp_path / "bad.log"
+        log.write_text(clean.read_text() + bad_line + "\n")
+        assert not check_ap_floor.check_no_truncation(str(log)), bad_line
+    # main() combines floor + truncation: clean log but bad AP -> 1
+    good = tmp_path / "m.json"
+    good.write_text(json.dumps({"AP": 0.643}))
+    assert check_ap_floor.main([str(good), "0.60", str(clean)]) == 0
+    assert check_ap_floor.main([str(good), "0.65", str(clean)]) == 1
+
+
 def test_ap_ablation_assertions(tmp_path, monkeypatch):
     """ap_ablation's two assertion layers: bounded toggles fail past
     |dAP| > tol, and EXACT toggles (xla_nms) fail on ANY summary-stat

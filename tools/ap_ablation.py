@@ -127,8 +127,14 @@ def main(argv=None):
         f.write(table + "\n")
 
     if failures:
-        print("FAIL: bounded toggles moved AP beyond "
-              f"{args.assert_tol}: {failures}")
+        bounded_f = [f for f in failures if not isinstance(f[1], str)]
+        exact_f = [f for f in failures if isinstance(f[1], str)]
+        if bounded_f:
+            print("FAIL: bounded toggles moved AP beyond "
+                  f"{args.assert_tol}: {bounded_f}")
+        if exact_f:
+            print("FAIL: EXACT toggles must be protocol-identical "
+                  f"(every summary stat equal), but: {exact_f}")
         return 1
     if args.assert_tol is not None:
         print(f"PASS: all bounded toggles within |dAP| <= {args.assert_tol}")

@@ -15,11 +15,22 @@
 # the repo.
 #
 # Usage: tools/synth_e2e_gate.sh [DATA_ROOT] [SAVE_DIR] [AP_FLOOR]
-# Exit 0 iff every stage trains AND final AP >= AP_FLOOR (default 0.5).
+# Exit 0 iff every stage trains AND final AP >= AP_FLOOR (default 0.60 —
+# measured 0.643 on the tunneled v5e, round 4; a >6.7% AP regression
+# fails the default gate) AND the coco-eval pass emitted zero
+# capacity-truncation warnings (escalation makes truncation impossible
+# by design — enforce it; INFO "re-dispatching" escalation lines are the
+# intended path and do NOT fail the gate).
+#
+# GATE_PRECISION=f32 drops --bf16 from stages 1-2 (the bf16-training AP
+# control: same data, same recipe, f32 params/compute — record dAP vs
+# the bf16-trained checkpoint in docs/PERF.md).
 set -u
 ROOT=${1:-/tmp/mpn_gate_coco}
 SAVE=${2:-/tmp/mpn_gate_models}
-FLOOR=${3:-0.5}
+FLOOR=${3:-0.60}
+BF16_FLAG=--bf16
+[ "${GATE_PRECISION:-bf16}" = f32 ] && BF16_FLAG=
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 export PYTHONPATH=$REPO:${PYTHONPATH:-}
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
@@ -40,14 +51,14 @@ best() { ls "$SAVE/$1" | grep '\.best$' | sort -t_ -k2 -n | tail -1 \
 # stage 1: keypoint subnet (shrunk from the reference recipe,
 # multipose_keypoint_train.py:107-113)
 python -m multiposenet_tpu.cli train --subnet keypoint \
-  --coco-root "$ROOT" --backbone resnet50 --bf16 --inp-size 240 \
+  --coco-root "$ROOT" --backbone resnet50 $BF16_FLAG --inp-size 240 \
   --batch-size 16 --max-epoch 30 --num-workers 4 \
   --save-dir "$SAVE" --exp-name kp || exit 1
 
 # stage 2: detection subnet from the stage-1 best checkpoint — exercises
 # the params+batch_stats staged restore (the round-2 BN bug's trigger)
 python -m multiposenet_tpu.cli train --subnet detection \
-  --coco-root "$ROOT" --backbone resnet50 --bf16 --inp-size 320 \
+  --coco-root "$ROOT" --backbone resnet50 $BF16_FLAG --inp-size 320 \
   --batch-size 8 --lr 1e-4 --max-epoch 16 --num-workers 4 \
   --save-dir "$SAVE" --exp-name det --init-params "$(best kp)" || exit 1
 
@@ -67,9 +78,14 @@ python -m multiposenet_tpu.cli coco-eval \
   --coco-root "$ROOT" --backbone resnet50 --ckpt "$(best prn)" \
   --max-peaks 8 --max-people 8 \
   --result-file "$SAVE/gate_results.json" \
-  --metrics-file "$SAVE/gate_metrics.json" || exit 1
+  --metrics-file "$SAVE/gate_metrics.json" 2>&1 \
+  | tee "$SAVE/coco_eval.log"
+[ "${PIPESTATUS[0]}" = 0 ] || exit 1
 
-python tools/check_ap_floor.py "$SAVE/gate_metrics.json" "$FLOOR" || exit 1
+# AP floor + zero-truncation assert (escalation must have re-dispatched
+# every saturated crowd image; see check_ap_floor.py docstring)
+python tools/check_ap_floor.py "$SAVE/gate_metrics.json" "$FLOOR" \
+  "$SAVE/coco_eval.log" || exit 1
 
 # AP-evidence ablation matrix on the freshly trained checkpoint: every
 # bounded eval-path toggle (bf16, fold-bn, host chain, XLA NMS, host
