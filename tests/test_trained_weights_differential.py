@@ -1,0 +1,54 @@
+"""Trained-weights protocol differential, cheap mode (VERDICT r4 item 1).
+
+tools/trained_weights_differential.py exports a checkpoint TRAINED in this
+framework to the reference h5 layout, runs the reference's own
+Tester.coco_eval on it (load_net-restored net, full 5-scale+flip protocol)
+and our cli coco-eval over the same synthetic val images, then scores both
+result files with one scorer and demands the 10 OKS stats agree.
+
+The oracle-weights differential (test_reference_eval_parity.py) can't see
+trained-regime behavior — real peak contention, borderline matches, crowd
+fallbacks.  This one can: it consumes the synth gate's stage-3 best
+checkpoint (tools/synth_e2e_gate.sh leaves it under /tmp/mpn_gate_models;
+override with MPN_GATE_MODELS / MPN_GATE_COCO) and runs 2 images at
+inp_size 240.  Skips when no gate run has produced a checkpoint on this
+machine — the full 16-image run is recorded in docs/PARITY.md.
+"""
+
+import glob
+import os
+import subprocess  # noqa: F401  (tool shells out for our eval side)
+import sys
+
+import pytest
+
+pytest.importorskip("torch")
+pytest.importorskip("h5py")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GATE_MODELS = os.environ.get("MPN_GATE_MODELS", "/tmp/mpn_gate_models")
+GATE_COCO = os.environ.get("MPN_GATE_COCO", "/tmp/mpn_gate_coco")
+
+
+def _best_prn_ckpt():
+    cands = sorted(glob.glob(os.path.join(GATE_MODELS, "prn", "*.best")))
+    return cands[-1] if cands else None
+
+
+@pytest.mark.slow
+def test_trained_weights_differential_cheap():
+    ckpt = _best_prn_ckpt()
+    if ckpt is None or not os.path.isdir(os.path.join(GATE_COCO, "val2017")):
+        pytest.skip("no synth-gate trained checkpoint on this machine "
+                    f"(looked in {GATE_MODELS}); run tools/synth_e2e_gate.sh")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import trained_weights_differential as twd
+    finally:
+        sys.path.pop(0)
+    out_dir = "/tmp/mpn_twd_test"
+    rc = twd.main([
+        "--ckpt", ckpt, "--coco-root", GATE_COCO, "--out-dir", out_dir,
+        "--backbone", "resnet50", "--n-images", "2", "--inp-size", "240",
+        "--assert-tol", "0.02", "--our-platform", "cpu"])
+    assert rc == 0, f"see {out_dir}/report.md"
