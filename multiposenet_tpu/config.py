@@ -123,6 +123,14 @@ class PRNConfig:
     # greedy mutual-best assignment on device (ops/grouping.py; fuzz-matched
     # against the exact host implementation in eval/grouping.py)
     device_grouping: bool = True
+    # inference-only: apply the PRN MLP with the flatten FUSED into the
+    # first/last Dense (einsum over (y, x, j) with trace-time-reshaped
+    # kernels, engine/inference._prn_mlp_eval) instead of
+    # reshape->Dense->reshape.  Same math on the same checkpoint params
+    # (equivalence-tested); removes the (B, gh, gw, 17) flatten/unflatten
+    # layout copies the round-4 trace attributed ~2 ms/exec to.  Training
+    # always uses the module (dropout + the oracle's f64 gradient tests).
+    fused_mlp: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -292,6 +292,42 @@ def format_pose_batch(assigns: PoseAssignments, file_names=None,
 # PRN stage: build per-person input grids, run PRN, score peaks — one jit.
 # ----------------------------------------------------------------------
 
+def _prn_mlp_eval(prn_params, grids: jnp.ndarray, compute_dtype):
+    """Eval-mode PRN MLP (subnets.py PRN.__call__, train=False) with the
+    flatten FUSED into the boundary Denses.
+
+    The module path reshapes (B, gh, gw, 17) -> (B, d) -> Dense -> ... ->
+    (B, d) -> (B, gh, gw, 17); in the batched e2e graph the two reshapes
+    materialize as layout copies (~2 ms/exec at batch 64, docs/PERF.md
+    round-4 trace).  Here dens1/dens2 contract the (y, x, j) axes directly
+    (kernels reshaped at trace time — the flatten order is the same
+    C-order (y, x, j) the module's reshape(b, -1) walks, so this is the
+    SAME dot product on the SAME checkpoint params), the residual adds in
+    4D, and the whole-vector softmax normalizes jointly over (y, x, j) —
+    elementwise-identical to softmax over the flat vector.  Dropout is
+    deterministic at eval and drops out of the graph entirely.
+
+    Training keeps the module (dropout rng + the oracle's strict f64
+    gradient-identity tests run through PRN.__call__).
+    """
+    gh, gw, nj = grids.shape[1:]
+    dt = compute_dtype
+    x = grids.astype(dt)
+    k1 = prn_params["dens1"]["kernel"].reshape(gh, gw, nj, -1).astype(dt)
+    h = jax.nn.relu(jnp.einsum("byxj,yxjn->bn", x, k1)
+                    + prn_params["dens1"]["bias"].astype(dt))
+    h = jax.nn.relu(h @ prn_params["bneck"]["kernel"].astype(dt)
+                    + prn_params["bneck"]["bias"].astype(dt))
+    k2 = prn_params["dens2"]["kernel"].reshape(-1, gh, gw, nj).astype(dt)
+    o = jax.nn.relu(jnp.einsum("bn,nyxj->byxj", h, k2)
+                    + prn_params["dens2"]["bias"].reshape(gh, gw, nj)
+                    .astype(dt))
+    o = o + x
+    # whole-vector softmax pinned >= f32 (subnets.py PRN.__call__); the
+    # joint (1, 2, 3) axis group == the module's axis=1 on the flat vector
+    of = o.astype(jnp.promote_types(o.dtype, jnp.float32))
+    return jax.nn.softmax(of, axis=(1, 2, 3))
+
 def _grid_coords(peak_xy, box_xywh, grid_h: int, grid_w: int):
     """Map a peak into a person crop grid with the reference's int-cast and
     edge-clamping rules (tester.py:374-391, prn_data_pipeline.py:51-70).
@@ -399,7 +435,11 @@ def make_prn_pipeline(model: PoseNet, cfg: Config):
         g1 = jnp.einsum("yh,bhxj->byxj", by, marks, precision=grid_prec)
         grids = jnp.einsum("xw,bywj->byxj", bx, g1, precision=grid_prec)
 
-        prn_out = model.apply(params, grids, method=PoseNet.prn_forward)
+        if cfg.prn.fused_mlp:
+            prn_out = _prn_mlp_eval(params["params"]["prn"], grids,
+                                    cfg.model.compute_dtype)
+        else:
+            prn_out = model.apply(params, grids, method=PoseNet.prn_forward)
 
         # score each marked peak: sum over a clipped NxN window of the PRN
         # output around the peak cell, times the peak score (tester.py:410-429).

@@ -108,17 +108,22 @@ def test_gather_objects_single_process():
     assert dist.gather_objects({"a": [1, 2]}, decode=False) is None
 
 
-def test_two_process_distributed_coco_eval(tmp_path):
+@pytest.mark.parametrize("n_images", [4, 5])
+def test_two_process_distributed_coco_eval(tmp_path, n_images):
     """coco-eval on a 2-process cluster with NO explicit shard: the image
     set auto-shards by process, the ragged per-shard results all-gather
     over gloo (gather_objects), and only process 0 scores the merged set
-    — one command per host replaces --eval-shard + merge-results."""
+    — one command per host replaces --eval-shard + merge-results.
+
+    n_images=5 pins the UNEVEN case (image count not divisible by process
+    count, VERDICT r4 item 6): strided shards of 3 and 2, the ragged
+    gather must still merge exhaustively and score all 5."""
     import cv2
     import json
 
     root = str(tmp_path)
     imgs, anns = [], []
-    for i in range(1, 5):
+    for i in range(1, n_images + 1):
         cv2.imwrite(os.path.join(root, f"{i}.png"),
                     np.full((64, 80, 3), 40 * i, np.uint8))
         imgs.append({"id": i, "height": 64, "width": 80,
@@ -165,15 +170,18 @@ def test_two_process_distributed_coco_eval(tmp_path):
                                      float(ap.split("=")[1]),
                                      json.loads(ids.split("=", 1)[1]))
     assert set(results) == {0, 1}, outs
-    # disjoint exhaustive auto-shard: 2 images each, all 4 covered
-    assert results[0][0] == results[1][0] == 2
-    assert sorted(results[0][2] + results[1][2]) == [1, 2, 3, 4]
+    # disjoint exhaustive auto-shard: strided shards balanced to within
+    # one image (3+2 in the uneven case), every image covered exactly once
+    assert abs(results[0][0] - results[1][0]) <= 1
+    assert results[0][0] + results[1][0] == n_images
+    assert sorted(results[0][2] + results[1][2]) == list(
+        range(1, n_images + 1))
     # primary scores the MERGED set; secondary returns no metrics
     assert results[0][1] > 0.99
     assert results[1][1] == -1.0
     # primary wrote the merged result file
     with open(os.path.join(root, "merged.json")) as f:
-        assert len(json.load(f)) == 4
+        assert len(json.load(f)) == n_images
 
 
 def test_distributed_coco_eval_shard_failure_no_hang(tmp_path):

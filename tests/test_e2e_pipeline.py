@@ -95,6 +95,38 @@ def _assert_same_results(got, expected):
     assert nonempty >= 2, "too few non-empty images — test is near-vacuous"
 
 
+def test_fused_prn_mlp_matches_module(setup):
+    """cfg.prn.fused_mlp applies the SAME checkpoint params through
+    engine/inference._prn_mlp_eval (flatten fused into the boundary
+    Denses) — the dot products are reorderings of the module's, so the
+    outputs must agree to f32 reduction noise on realistic grids."""
+    from multiposenet_tpu.engine.inference import _prn_mlp_eval
+
+    cfg, model, params, _ = setup
+    gh, gw = cfg.model.prn_height, cfg.model.prn_width
+    rng = np.random.RandomState(3)
+    # realistic PRN input: sparse gaussian-ish marks in [0, 1]
+    grids = np.zeros((5, gh, gw, 17), np.float32)
+    for b in range(5):
+        for j in range(17):
+            grids[b, rng.randint(gh), rng.randint(gw), j] = 1.0
+    grids = jnp.asarray(grids)
+
+    ref = model.apply(params, grids, method=PoseNet.prn_forward)
+    fused = _prn_mlp_eval(params["params"]["prn"], grids, jnp.float32)
+    assert fused.shape == ref.shape == (5, gh, gw, 17)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-8)
+    # rows still normalize (whole-vector softmax; 34k-element f32 sum)
+    np.testing.assert_allclose(np.asarray(fused).reshape(5, -1).sum(1),
+                               1.0, rtol=2e-4)
+
+    # bf16 compute: same quantization class as the module's bf16 path
+    fused_bf = _prn_mlp_eval(params["params"]["prn"], grids, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(fused_bf, np.float32),
+                               np.asarray(ref), rtol=0.05, atol=1e-6)
+
+
 @pytest.mark.slow  # compile-heavy (tiering: docs/TESTING.md)
 def test_e2e_matches_per_image_host_path(setup):
     cfg, model, params, imgs = setup
