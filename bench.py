@@ -15,7 +15,10 @@ MPN_BENCH_F32=1 for the float32 number.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Extra keys: detect_peaks_ips (the pre-PRN pipeline alone), gflops_per_image
 (XLA cost analysis of the benched e2e graph), mfu (measured FLOP rate /
-chip peak for the compute dtype — the honest roofline, docs/PERF.md).
+chip peak for the compute dtype — the honest roofline, docs/PERF.md),
+device_busy_ms_per_exec (trace-derived device-op busy time per e2e batch —
+the tunnel-independent comparator across rounds: D2H stalls decay the
+wall-clock headline while this holds constant).
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md
 section 6), so the denominator is MEASURED on this same chip by
@@ -169,6 +172,24 @@ def main():
     if gflops_per_image is not None and jax.default_backend() != "cpu":
         mfu = ips * gflops_per_image * 1e9 / PEAK_FLOPS[dtype_name]
 
+    # tunnel-independent comparator: device-op busy ms per e2e exec from a
+    # 5-exec trace (see tools/profile_xplane.device_busy_ms_per_exec) — the
+    # number to trust across rounds when wall-clock disagrees with itself
+    # (D2H stalls decay the headline while device busy holds constant)
+    device_busy_ms = None
+    try:
+        import importlib.util as _ilu
+        spec = _ilu.spec_from_file_location(
+            "profile_xplane",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "profile_xplane.py"))
+        _px = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(_px)
+        device_busy_ms = _px.device_busy_ms_per_exec(
+            lambda: e2e(params, imgs, scales)[1].chosen, n=5)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "images_per_sec_per_chip_e2e_pose",
         "value": round(ips, 2),
@@ -180,6 +201,8 @@ def main():
         "mfu": round(mfu, 3) if mfu is not None else None,
         "dtype": dtype_name,
         "e2e_runs_s": e2e_runs,
+        "device_busy_ms_per_exec": (round(device_busy_ms, 2)
+                                    if device_busy_ms is not None else None),
     }))
 
 

@@ -775,9 +775,14 @@ class Evaluator:
                         continue
                     warmed.add(ckey)
                     logger.info("precompile pyramid: (%d,%d)->%s", hp, wp,
-                                ckey[1])
+                                ckey[2])
+                    # out_shapes = the per-scale padded dims (metas[..][0]),
+                    # matching the eval path's jit key exactly — passing the
+                    # source (hp, wp) pair here crashed the warm the first
+                    # time the escalation fall-through actually ran it
+                    # (caught by the runbook dry-run's crowd scenes)
                     jax.block_until_ready(self._pyramid_fn(
-                        ckey[1], self.cfg.eval.flip)(
+                        ckey[2], self.cfg.eval.flip)(
                         jnp.zeros((hp, wp, 3), jnp.uint8),
                         ipack, wpack, dims))
         # PRN stage (single fixed shape): the fused PRN+grouping graph when

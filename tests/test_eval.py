@@ -279,7 +279,15 @@ def test_find_peaks_np_matches_scipy_reference():
     got = find_peaks_np(hm, thre1=0.3, upsamp_factor=4.0)
     want = reference(hm, thre1=0.3, upsamp_factor=4.0)
     for j in range(5):
-        np.testing.assert_array_equal(got[j], want[j], err_msg=f"joint {j}")
+        # coords + ids exact; scores to a few f32 ulp — find_peaks_np
+        # rides cv2's channel-vectorized resize kernel, which accumulates
+        # in a different order than the per-patch single-channel path
+        # (multiscale._refine_peak_batch docstring)
+        np.testing.assert_array_equal(got[j][:, [0, 1, 3]],
+                                      want[j][:, [0, 1, 3]],
+                                      err_msg=f"joint {j}")
+        np.testing.assert_allclose(got[j][:, 2], want[j][:, 2],
+                                   rtol=0, atol=5e-7, err_msg=f"joint {j}")
 
 
 def test_get_outputs_device_resize_matches_host_path():

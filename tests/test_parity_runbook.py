@@ -56,33 +56,58 @@ def test_diff_parity_metrics_logic(tmp_path):
     assert call("--no-baseline").returncode == 0
 
 
-@pytest.mark.slow  # two precompiles + two coco-evals on CPU (~minutes)
+@pytest.mark.slow  # three precompiles + three coco-evals on CPU (~minutes)
 def test_runbook_dry_run(tmp_path):
+    """Every flag combination the real-data runbook will launch runs here
+    first: the fast device path, the reference-exact host chain, AND the
+    --bf16 serving leg, over CROWDED scenes with capacities low enough
+    that the escalation re-dispatch fires inside the runbook (VERDICT r4
+    item 8) — day one on real COCO exercises zero untested branches."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.update(BACKBONE="resnet50", DRY_RUN="1", MAX_IMAGES="1",
-               MPN_PLATFORM="cpu", EXTRA_EVAL_FLAGS="--inp-size 96",
+    env.update(BACKBONE="resnet50", DRY_RUN="1", MAX_IMAGES="2",
+               MPN_PLATFORM="cpu",
+               # low peak capacity: the calibrated stand-in net emits many
+               # peaks on the crowd scenes, saturating 2 and escalating
+               EXTRA_EVAL_FLAGS="--inp-size 96 --max-peaks 2 --max-people 2",
                JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
 
     root = str(tmp_path / "coco")
     subprocess.run(
         [sys.executable,
          os.path.join(REPO, "tools", "make_synth_pose_dataset.py"),
-         "--root", root, "--n-train", "1", "--n-val", "1",
-         "--width", "160", "--height", "128", "--seed", "5"],
+         "--root", root, "--n-train", "1", "--n-val", "2",
+         "--width", "160", "--height", "128", "--seed", "5",
+         "--crowd-frac", "1.0"],
         check=True, env=env, capture_output=True)
 
-    # random reference-layout h5 standing in for ckpt_baseline_resnet101.h5
+    # random reference-layout h5 standing in for ckpt_baseline_resnet101.h5,
+    # with the final keypoint conv rescaled so heatmaps span ~[0, 0.62]
+    # (EvalBundle._calibrate_hot's trick): raw random weights emit ~0.007
+    # amplitude and no peak would ever clear thre1, leaving the escalation
+    # branch dead in the dry run
     import jax
     import jax.numpy as jnp
     from multiposenet_tpu.config import Config, ModelConfig
     from multiposenet_tpu.models.posenet import PoseNet
     cfg = Config(model=ModelConfig(backbone="resnet50"))
     model = PoseNet(cfg.model)
-    variables = model.init(
+    import flax.core
+    variables = flax.core.unfreeze(model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)),
         jnp.zeros((1, cfg.model.prn_height, cfg.model.prn_width, 17)),
-        method=PoseNet.init_all)
+        method=PoseNet.init_all))
+    probe = jnp.asarray(np.random.RandomState(7).rand(1, 96, 96, 3),
+                        jnp.float32)
+    heat = model.apply({"params": variables["params"],
+                        "batch_stats": variables["batch_stats"]},
+                       probe, method=PoseNet.keypoint_forward)
+    heat = heat[0] if isinstance(heat, (tuple, list)) else heat
+    k = 0.62 / float(jnp.abs(heat).max())
+    fin = variables["params"]["keypoint_head"]["convfin"]
+    fin["kernel"] = np.asarray(fin["kernel"]) * k
+    fin["bias"] = np.asarray(fin["bias"]) * k
+
     exp = _load_tool("export_torch_ckpt")
     state = exp.export_state_dict(
         jax.tree.map(np.asarray, variables["params"]),
@@ -94,10 +119,12 @@ def test_runbook_dry_run(tmp_path):
     r = subprocess.run(
         ["bash", os.path.join(REPO, "tools", "real_parity_runbook.sh"),
          root, h5_path, out],
-        env=env, capture_output=True, text=True, timeout=3000)
+        env=env, capture_output=True, text=True, timeout=4500)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
-    # both modes produced result + metric files (untrained weights -> the
-    # detector keeps no boxes, so empty result lists are the expected
-    # dry-run outcome; the runbook must still complete and diff cleanly)
-    for mode in ("fast", "ref"):
+    # all three modes produced result + metric files
+    for mode in ("fast", "ref", "bf16"):
         assert os.path.exists(os.path.join(out, f"results_{mode}.json")), mode
+        assert os.path.exists(os.path.join(out, f"metrics_{mode}.json")), mode
+    # the escalation re-dispatch actually fired inside the runbook
+    assert "re-dispatching at the escalated tier" in r.stdout + r.stderr, (
+        r.stdout[-2000:] + r.stderr[-2000:])

@@ -196,6 +196,46 @@ def categorize(name):
     return "other"
 
 
+def device_busy_ms_per_exec(run, n: int = 5, trace_dir: str = None):
+    """Trace ``n`` executions of ``run()`` and return the device plane's
+    XLA-Ops busy time in ms per exec, or None if no device plane was
+    captured (e.g. CPU backend).
+
+    This is the tunnel-independent throughput comparator (VERDICT r4
+    item 7): wall-clock bench numbers on the remote runtime are hostage
+    to intermittent D2H stalls (observed 527->402 img/s across one
+    afternoon while device busy held constant); the trace's device-op
+    busy time is enqueue-only and immune.  bench.py reports it alongside
+    the wall-clock headline.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+
+    td = trace_dir or tempfile.mkdtemp(prefix="mpn_busy_")
+    jax.device_get(run())  # warm (compile outside the trace)
+    try:
+        with jax.profiler.trace(td):
+            outs = [run() for _ in range(n)]
+            jax.device_get(outs)
+        pbs = sorted(glob.glob(os.path.join(
+            td, "plugins/profile/*/*.xplane.pb")))
+        if not pbs:
+            return None
+        busy_ps = 0
+        for plane in parse_xspace(pbs[-1]):
+            if not ("TPU" in plane.name or "/device" in plane.name.lower()):
+                continue
+            for line in plane.lines:
+                if "xla op" in (line.name or "").lower():
+                    busy_ps += sum(d for _, d in line.events.values())
+        return busy_ps / 1e9 / n if busy_ps else None
+    finally:
+        if trace_dir is None:
+            shutil.rmtree(td, ignore_errors=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f32", action="store_true")

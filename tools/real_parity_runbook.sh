@@ -10,11 +10,14 @@
 #   1. convert the torch h5 into this repo's orbax layout
 #      (tools/convert_torch_ckpt.py — forward parity of the conversion is
 #      differential-tested in tests/test_reference_parity.py)
-#   2. precompile the multi-scale shape set for BOTH eval modes
-#   3. coco-eval twice: the fast device-default path AND the
-#      reference-exact host chain (f32, host resize/peaks/grouping)
-#   4. diff the 10 OKS stats between modes and against the baseline
-#      (tools/diff_parity_metrics.py; non-zero exit on disagreement)
+#   2. precompile the multi-scale shape set for EVERY eval mode
+#   3. coco-eval three ways: the fast device-default path, the
+#      reference-exact host chain (f32, host resize/peaks/grouping), and
+#      the bf16 serving path (--bf16; the production inference dtype)
+#   4. diff the 10 OKS stats: fast vs reference-exact (strict, plus the
+#      published-baseline floor) and bf16 vs fast (mode-tol 0.01 — the
+#      measured synth-gate bf16 eval drift is < 0.007, docs/PERF.md)
+#      via tools/diff_parity_metrics.py; non-zero exit on disagreement
 #
 # Env overrides:
 #   BACKBONE=resnet101   MAX_IMAGES=     (limit, for smoke runs)
@@ -42,9 +45,10 @@ REF_FLAGS=(--host-resize --host-peaks --host-image-resize --host-grouping)
 python tools/convert_torch_ckpt.py "$H5" "$OUT/ckpt" \
     --backbone "$BACKBONE" || exit 1
 
-for mode in fast ref; do
+for mode in fast ref bf16; do
   FLAGS=()
   [ "$mode" = ref ] && FLAGS=("${REF_FLAGS[@]}")
+  [ "$mode" = bf16 ] && FLAGS=(--bf16)
   python -m multiposenet_tpu.cli precompile \
       --coco-root "$COCO" --backbone "$BACKBONE" --ckpt "$OUT/ckpt" \
       "${MI[@]}" "${FLAGS[@]}" || exit 1
@@ -59,4 +63,11 @@ DIFF_FLAGS=()
 [ -n "${DRY_RUN:-}" ] && DIFF_FLAGS=(--no-baseline)
 python tools/diff_parity_metrics.py \
     "$OUT/metrics_fast.json" "$OUT/metrics_ref.json" \
-    --baseline-ap 0.590 "${DIFF_FLAGS[@]}"
+    --baseline-ap 0.590 "${DIFF_FLAGS[@]}" || exit 1
+
+# bf16 serving mode vs the f32 device default: numerics-only toggle, bound
+# at 0.01 (synth-gate ablation measured < 0.007); no baseline re-check
+echo "== bf16 vs fast =="
+python tools/diff_parity_metrics.py \
+    "$OUT/metrics_bf16.json" "$OUT/metrics_fast.json" \
+    --mode-tol 0.01 --no-baseline
