@@ -127,9 +127,11 @@ class PRNConfig:
     # first/last Dense (einsum over (y, x, j) with trace-time-reshaped
     # kernels, engine/inference._prn_mlp_eval) instead of
     # reshape->Dense->reshape.  Same math on the same checkpoint params
-    # (equivalence-tested); removes the (B, gh, gw, 17) flatten/unflatten
-    # layout copies the round-4 trace attributed ~2 ms/exec to.  Training
-    # always uses the module (dropout + the oracle's f64 gradient tests).
+    # (equivalence-tested).  MEASURED 2.7 ms/exec SLOWER on v5e at the
+    # benched batch-64 e2e shapes (the 3-axis contraction costs XLA more
+    # than the flatten copies it removes — docs/PERF.md "Round-5 PRN
+    # layout A/B"); default stays off, knob kept for other hardware.
+    # Training always uses the module (dropout + f64 gradient oracle).
     fused_mlp: bool = False
 
 

@@ -417,21 +417,23 @@ def make_prn_pipeline(model: PoseNet, cfg: Config):
         insf = inside.astype(grid_dt)
         oh_y = (y0[..., None] == jnp.arange(gh)).astype(grid_dt)
         oh_x = (x0[..., None] == jnp.arange(gw)).astype(grid_dt)
-        # default precision is EXACT here: operands are 0/1 (no bf16
-        # truncation possible) and the MXU accumulates in f32, so the
-        # integer counts (<= P) are exact without HIGHEST's extra passes
-        cnt = jnp.einsum("bjpy,bjpx->byxj", oh_y * insf[..., None], oh_x)
-        marks = jnp.minimum(cnt, jnp.asarray(1.0, grid_dt))
-
-        # gaussian-blur each person grid (tester.py:396-398, sigma=1
-        # 'nearest') as two dense blur-operator matmuls (ops/gaussian.
-        # blur_matrix == the separable conv exactly, incl. edge handling —
-        # tests/test_ops.py::test_blur_matrix_equals_separable_gaussian_blur).
-        # The depthwise-conv formulation edge-pads and shuffles
-        # (B, gh+pad, gw, J) f32 tensors through bad layouts (~5 ms/exec
-        # at batch 64); the two matmuls are ~8 GFLOPs on the MXU.
         by = jnp.asarray(blur_matrix(gh, 1.0, "nearest"), grid_dt)
         bx = jnp.asarray(blur_matrix(gw, 1.0, "nearest"), grid_dt)
+        # default precision is EXACT here: operands are 0/1 (no bf16
+        # truncation possible) and the MXU accumulates in f32, so the
+        # integer counts (<= P) are exact without HIGHEST's extra passes.
+        # (A scatter-max formulation is serialized on TPU and the
+        # depthwise-conv blur shuffles through bad layouts — both
+        # measured, docs/PERF.md; the blur matmuls are ~8 GFLOPs of MXU
+        # work and blur_matrix == the separable conv exactly,
+        # tests/test_ops.py.)  This byxj chain is also the round-5 layout
+        # A/B winner: natural-dot-order "bjyx" intermediates with one
+        # explicit pre-MLP transpose measured +0.2 ms, the fused-flatten
+        # MLP +2.7 ms — the residual ~2 ms of layout copies around the
+        # window einsums is XLA-mandated for this op mix (docs/PERF.md
+        # "Round-5 PRN layout A/B").
+        cnt = jnp.einsum("bjpy,bjpx->byxj", oh_y * insf[..., None], oh_x)
+        marks = jnp.minimum(cnt, jnp.asarray(1.0, grid_dt))
         g1 = jnp.einsum("yh,bhxj->byxj", by, marks, precision=grid_prec)
         grids = jnp.einsum("xw,bywj->byxj", bx, g1, precision=grid_prec)
 

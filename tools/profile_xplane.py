@@ -228,7 +228,10 @@ def device_busy_ms_per_exec(run, n: int = 5, trace_dir: str = None):
             if not ("TPU" in plane.name or "/device" in plane.name.lower()):
                 continue
             for line in plane.lines:
-                if "xla op" in (line.name or "").lower():
+                # EXACTLY the "XLA Ops" line: "Async XLA Ops" (wall-
+                # parallel DMA, 5x the op time on this graph) and the
+                # duplicate "XLA Modules" rollup must not be summed in
+                if (line.name or "").lower() == "xla ops":
                     busy_ps += sum(d for _, d in line.events.values())
         return busy_ps / 1e9 / n if busy_ps else None
     finally:

@@ -222,6 +222,15 @@ def main(argv=None) -> int:
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--our-platform", default="",
                     help="MPN_PLATFORM for our subprocess (e.g. cpu)")
+    ap.add_argument("--our-flags", default="",
+                    help="extra cli coco-eval flags for OUR side, e.g. "
+                         "'--host-resize --host-peaks --host-image-resize "
+                         "--host-grouping' for the reference-exact chain")
+    ap.add_argument("--reuse-ref", action="store_true",
+                    help="skip the export + reference run when the "
+                         "out-dir already holds ref_results.json (A/B "
+                         "several of OUR eval modes against one "
+                         "reference pass)")
     args = ap.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -230,17 +239,24 @@ def main(argv=None) -> int:
     our_json = os.path.join(args.out_dir, "our_results.json")
     our_metrics_json = os.path.join(args.out_dir, "our_metrics.json")
 
-    print(f"[1/4] export {args.ckpt} -> {h5}")
-    export_to_h5(args.ckpt, args.backbone, h5)
+    reuse = args.reuse_ref and os.path.isfile(ref_json)
+    if not reuse:
+        print(f"[1/4] export {args.ckpt} -> {h5}")
+        export_to_h5(args.ckpt, args.backbone, h5)
 
     print("[2/4] our Evaluator.coco_eval (cli subprocess)")
     run_our_coco_eval(args.ckpt, args.coco_root, our_json,
                       our_metrics_json, args.inp_size, args.backbone,
-                      args.n_images, platform=args.our_platform)
+                      args.n_images, platform=args.our_platform,
+                      extra_flags=tuple(args.our_flags.split()))
 
-    print("[3/4] reference Tester.coco_eval (load_net-restored net)")
-    run_reference_coco_eval(h5, args.coco_root, ref_json, args.inp_size,
-                            args.backbone, args.n_images)
+    if reuse:
+        print(f"[3/4] reusing existing {ref_json}")
+    else:
+        print("[3/4] reference Tester.coco_eval (load_net-restored net)")
+        run_reference_coco_eval(h5, args.coco_root, ref_json,
+                                args.inp_size, args.backbone,
+                                args.n_images)
 
     print("[4/4] one-scorer comparison")
     ref_stats = score_results(args.coco_root, ref_json, args.n_images)
@@ -262,7 +278,9 @@ def main(argv=None) -> int:
     report = (
         f"# Trained-weights protocol differential\n\n"
         f"ckpt: `{args.ckpt}`  data: `{args.coco_root}` "
-        f"({args.n_images or 'all'} images, inp_size {args.inp_size})\n\n"
+        f"({args.n_images or 'all'} images, inp_size {args.inp_size}"
+        + (f", our flags: `{args.our_flags}`" if args.our_flags else "")
+        + ")\n\n"
         f"{table}\n\nmax |delta| = {worst:.4f} "
         f"(tol {args.assert_tol})\n\n"
         f"## results per image (ref / ours)\n\n"
