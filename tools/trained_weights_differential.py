@@ -35,6 +35,13 @@ Usage:
       --coco-root /tmp/mpn_gate_coco --out-dir /tmp/twd \
       [--backbone resnet50] [--inp-size 480] [--n-images 0=all] \
       [--assert-tol 0.02]
+
+Measured bands (2026-08-20, the AP-0.643 gate checkpoint): cheap mode
+(2 images) delta 0.0000 on all 10 stats; full 16-image split 0.0224 —
+one NMS IoU-0.4901-vs-0.5 razor tie between the two stacks'
+independently-computed forwards on one crowd image (docs/PARITY.md).
+Full-split runs should pass --assert-tol 0.025 to sit just above that
+single-tie quantum; anything materially past it is a real divergence.
 """
 
 from __future__ import annotations
