@@ -178,14 +178,8 @@ def main():
     # (D2H stalls decay the headline while device busy holds constant)
     device_busy_ms = None
     try:
-        import importlib.util as _ilu
-        spec = _ilu.spec_from_file_location(
-            "profile_xplane",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "tools", "profile_xplane.py"))
-        _px = _ilu.module_from_spec(spec)
-        spec.loader.exec_module(_px)
-        device_busy_ms = _px.device_busy_ms_per_exec(
+        from multiposenet_tpu.utils.toolload import load_tool
+        device_busy_ms = load_tool("profile_xplane").device_busy_ms_per_exec(
             lambda: e2e(params, imgs, scales)[1].chosen, n=5)
     except Exception:
         pass

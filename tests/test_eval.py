@@ -286,8 +286,9 @@ def test_find_peaks_np_matches_scipy_reference():
         np.testing.assert_array_equal(got[j][:, [0, 1, 3]],
                                       want[j][:, [0, 1, 3]],
                                       err_msg=f"joint {j}")
+        # budget: fuzzing measured deltas up to ~8.3e-7 (~7 ulps at 1.0)
         np.testing.assert_allclose(got[j][:, 2], want[j][:, 2],
-                                   rtol=0, atol=5e-7, err_msg=f"joint {j}")
+                                   rtol=0, atol=2e-6, err_msg=f"joint {j}")
 
 
 def test_get_outputs_device_resize_matches_host_path():

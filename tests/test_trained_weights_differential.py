@@ -31,7 +31,10 @@ GATE_COCO = os.environ.get("MPN_GATE_COCO", "/tmp/mpn_gate_coco")
 
 
 def _best_prn_ckpt():
-    cands = sorted(glob.glob(os.path.join(GATE_MODELS, "prn", "*.best")))
+    # numeric epoch sort (the gate's own best() uses `sort -t_ -k2 -n`):
+    # lexicographic glob order puts ckpt_11 before ckpt_9
+    cands = glob.glob(os.path.join(GATE_MODELS, "prn", "*.best"))
+    cands.sort(key=lambda p: int(os.path.basename(p).split("_")[1]))
     return cands[-1] if cands else None
 
 

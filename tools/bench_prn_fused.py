@@ -12,7 +12,6 @@ Usage: python tools/bench_prn_fused.py [--f32] [--batch 64] [--iters 5]
 
 import argparse
 import dataclasses
-import importlib.util
 import json
 import os
 import sys
@@ -40,10 +39,8 @@ def main():
     from multiposenet_tpu.engine.inference import make_e2e_pose_pipeline
     from multiposenet_tpu.models.posenet import PoseNet
 
-    spec = importlib.util.spec_from_file_location(
-        "profile_xplane", os.path.join(REPO, "tools", "profile_xplane.py"))
-    px = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(px)
+    from multiposenet_tpu.utils.toolload import load_tool
+    px = load_tool("profile_xplane")
 
     cfg = Config()
     if not args.f32:

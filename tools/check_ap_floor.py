@@ -25,7 +25,11 @@ import re
 import sys
 
 # WARNING-level truncation markers (engine/evaluator.py warning sites).
-TRUNCATION_RE = re.compile(r"WARNING.*(dropped|truncated|saturated)")
+# Anchored on this package's logger name (utils/logging.py format:
+# "... WARNING multiposenet_tpu: ...") so a third-party WARNING line that
+# happens to contain one of the words cannot fail the gate.
+TRUNCATION_RE = re.compile(
+    r"WARNING\s+multiposenet_tpu.*(dropped|truncated|saturated)")
 
 
 def check(metrics_path: str, floor: float) -> bool:

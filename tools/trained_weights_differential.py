@@ -48,29 +48,21 @@ from __future__ import annotations
 
 import argparse
 import contextlib
-import importlib.util
 import json
 import os
 import subprocess
 import sys
 
-import numpy as np
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 STATS = ["AP", "AP50", "AP75", "AP_medium", "AP_large",
          "AR", "AR50", "AR75", "AR_medium", "AR_large"]
 
 
-def _load_tool(name):
-    spec = importlib.util.spec_from_file_location(
-        name, os.path.join(REPO, "tools", f"{name}.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
 def export_to_h5(ckpt_dir: str, backbone: str, out_h5: str) -> None:
-    _load_tool("export_torch_ckpt").main(
+    from multiposenet_tpu.utils.toolload import load_tool
+    load_tool("export_torch_ckpt").main(
         [ckpt_dir, out_h5, "--backbone", backbone])
 
 
@@ -85,7 +77,12 @@ def _classic_resize():
     orig = cv2.resize
 
     def classic(src, dsize, *args, **kwargs):
-        if dsize is None and not args and "interpolation" not in kwargs:
+        # rewrite only the fully-kwarg form the reference uses
+        # (tester.py:68); positional fx/fy or a missing factor pass
+        # through untouched so cv2's own semantics (and errors) apply
+        if (dsize is None and not args and "interpolation" not in kwargs
+                and kwargs.get("fx") is not None
+                and kwargs.get("fy") is not None):
             fx, fy = kwargs.pop("fx"), kwargs.pop("fy")
             h, w = src.shape[:2]
             dsize = (round(w * fx), round(h * fy))
@@ -277,7 +274,14 @@ def main(argv=None) -> int:
              "|---|---|---|---|"]
     worst = 0.0
     for k in STATS:
-        r, o = float(ref_stats.get(k, -1)), float(our_stats.get(k, -1))
+        # a key absent from either scorer output is an error, not a
+        # vacuous -1 == -1 match (guards scorer renames/regressions)
+        missing = [s for s, m in (("ref", ref_stats), ("ours", our_stats))
+                   if k not in m]
+        if missing:
+            raise KeyError(f"summary stat {k!r} missing from "
+                           f"{'/'.join(missing)} scorer output")
+        r, o = float(ref_stats[k]), float(our_stats[k])
         d = o - r
         worst = max(worst, abs(d))
         lines.append(f"| {k} | {r:.4f} | {o:.4f} | {d:+.4f} |")
