@@ -95,6 +95,7 @@ def _assert_same_results(got, expected):
     assert nonempty >= 2, "too few non-empty images — test is near-vacuous"
 
 
+@pytest.mark.slow  # model init + prn_forward compile (~4 min on CPU)
 def test_fused_prn_mlp_matches_module(setup):
     """cfg.prn.fused_mlp applies the SAME checkpoint params through
     engine/inference._prn_mlp_eval (flatten fused into the boundary
