@@ -20,9 +20,13 @@ Usage: python tools/bench_e2e_stages.py [--f32] [--iters N] [--batch B]
 
 import argparse
 import dataclasses
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -24,9 +24,13 @@ so the tail measures its fixed cost only.
 import argparse
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pctl(xs, q):

@@ -26,9 +26,12 @@ Usage:  python tools/make_synth_pose_dataset.py --root /tmp/mpn_synth_coco \
 import argparse
 import json
 import os
+import sys
 
 import cv2
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # COCO keypoint order (annotation category spec)
 KEYPOINT_NAMES = [
