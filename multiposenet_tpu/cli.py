@@ -350,6 +350,23 @@ def cmd_export_torch(args):
               "--backbone", args.backbone, "--epoch", str(args.epoch)])
 
 
+def cmd_export_stablehlo(args):
+    """Export the fused e2e pose pipeline (weights baked in as constants)
+    as a serialized StableHLO serving artifact (engine/export_model.py).
+    The reference has no deployment artifact — its serving unit is the
+    full training codebase (evaluate/multipose_test.py)."""
+    from multiposenet_tpu.engine.export_model import export_pose_pipeline
+
+    cfg, ev = _load_eval(args)
+    batch = args.batch_size or 8
+    blob = export_pose_pipeline(ev.model, ev.cfg, ev.params, batch=batch,
+                                platforms=tuple(args.platforms.split(",")))
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.out}: {len(blob) / 1e6:.1f} MB, batch={batch}, "
+          f"inp={ev.cfg.eval.inp_size}, platforms={args.platforms}")
+
+
 def main(argv=None):
     # MPN_PLATFORM=cpu pins the JAX backend for this CLI process (e.g. CPU
     # dry runs of the parity runbook on machines whose sitecustomize pins a
@@ -481,6 +498,20 @@ def main(argv=None):
                     choices=["resnet50", "resnet101"])
     pe.add_argument("--epoch", type=int, default=-1)
     pe.set_defaults(fn=cmd_export_torch)
+
+    ph = sub.add_parser(
+        "export-stablehlo",
+        help="export the fused pose pipeline (weights baked in) as a "
+             "serialized StableHLO serving artifact; load with "
+             "BatchPredictor.from_exported — no model code or ckpt needed")
+    _common(ph)
+    ph.add_argument("out", help="output artifact path")
+    ph.add_argument("--platforms", default="tpu,cpu",
+                    help="comma-separated lowering platforms")
+    ph.add_argument("--fold-bn", action="store_true",
+                    help="fold BN into conv weights before export "
+                         "(models/fold_bn.py; exact inference rewrite)")
+    ph.set_defaults(fn=cmd_export_stablehlo)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -57,6 +57,26 @@ class BatchPredictor:
             self._pipeline = make_e2e_pose_pipeline(
                 self.model, cfg, (self.inp, self.inp))
 
+    @classmethod
+    def from_exported(cls, src) -> "BatchPredictor":
+        """Serve from a serialized StableHLO artifact
+        (engine/export_model.py) — weights are baked into the module, so
+        no model code, params tree or config is needed; batch size and
+        input resolution come from the artifact's own input signature."""
+        from multiposenet_tpu.engine.export_model import load_pose_pipeline
+
+        sp = load_pose_pipeline(src)
+        self = cls.__new__(cls)
+        self.cfg = None
+        self.batch_size = sp.batch
+        self.model = None
+        self.params = None
+        self.inp = sp.inp_size
+        self.mesh = None
+        self._pipeline = lambda _params, images, scales: (
+            None, sp(images, scales))
+        return self
+
     # -- host-side packing ------------------------------------------------
 
     def _pack(self, img_bgr: np.ndarray) -> Tuple[np.ndarray, float]:

@@ -29,6 +29,7 @@ import pytest  # noqa: E402
 SLOW_MODULES = {
     "test_cocoeval_differential",
     "test_distributed",
+    "test_export_stablehlo",
     "test_export_torch_ckpt",
     "test_reference_augment_parity",
     "test_reference_dataset_parity",
