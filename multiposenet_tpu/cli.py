@@ -357,14 +357,21 @@ def cmd_export_stablehlo(args):
     full training codebase (evaluate/multipose_test.py)."""
     from multiposenet_tpu.engine.export_model import export_pose_pipeline
 
+    # a deployment artifact with PRNGKey(0) init weights baked in would look
+    # valid and serve nonsense — refuse, unlike the interactive eval cmds
+    if not args.ckpt:
+        sys.exit("error: export-stablehlo requires --ckpt (the artifact "
+                 "bakes the weights in; exporting random init is never "
+                 "what you want)")
     cfg, ev = _load_eval(args)
     batch = args.batch_size or 8
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     blob = export_pose_pipeline(ev.model, ev.cfg, ev.params, batch=batch,
-                                platforms=tuple(args.platforms.split(",")))
+                                platforms=platforms)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"wrote {args.out}: {len(blob) / 1e6:.1f} MB, batch={batch}, "
-          f"inp={ev.cfg.eval.inp_size}, platforms={args.platforms}")
+          f"inp={ev.cfg.eval.inp_size}, platforms={','.join(platforms)}")
 
 
 def main(argv=None):

@@ -29,7 +29,8 @@ tests/test_export_stablehlo.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple, Union
+import os
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -87,15 +88,18 @@ class ServingPipeline:
         self.batch = int(img_aval.shape[0])
         self.inp_size = int(img_aval.shape[1])
         self.platforms = tuple(exported.platforms)
+        # eager Exported.call rebuilds its wrapper per invocation; jit it
+        # once so steady-state serving pays only the dispatch
+        self._call = jax.jit(exported.call)
 
     def __call__(self, images, scales) -> PoseAssignments:
-        return PoseAssignments(*self._exported.call(images, scales))
+        return PoseAssignments(*self._call(images, scales))
 
 
-def load_pose_pipeline(src: Union[str, bytes]) -> ServingPipeline:
+def load_pose_pipeline(src: Union[str, bytes, os.PathLike]) -> ServingPipeline:
     """`src` is a path to (or the bytes of) an `export_pose_pipeline`
     artifact."""
-    if isinstance(src, str):
+    if isinstance(src, (str, os.PathLike)):
         with open(src, "rb") as f:
             src = f.read()
     return ServingPipeline(jax.export.deserialize(src))

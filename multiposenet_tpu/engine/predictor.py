@@ -66,6 +66,9 @@ class BatchPredictor:
         from multiposenet_tpu.engine.export_model import load_pose_pipeline
 
         sp = load_pose_pipeline(src)
+        # no config/model/params exist on this path (the artifact replaces
+        # them); leave those attributes None so anything that would need
+        # them fails loudly instead of reading stale defaults
         self = cls.__new__(cls)
         self.cfg = None
         self.batch_size = sp.batch

@@ -116,6 +116,10 @@ def test_cli_errors(capsys):
         main(["test", "--testdata", "/definitely/missing"])
     with pytest.raises(SystemExit):
         main(["coco-eval", "--coco-root", "/definitely/missing"])
+    # export-stablehlo without --ckpt would bake random init weights into
+    # a valid-looking deployment artifact — must refuse before model init
+    with pytest.raises(SystemExit):
+        main(["export-stablehlo", "/tmp/never_written.stablehlo"])
 
 
 def test_build_config_bf16_flag(coco_tree):

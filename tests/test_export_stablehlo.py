@@ -77,7 +77,7 @@ def test_from_exported_predictor_matches_live(setup, tmp_path):
     path.write_bytes(blob)
 
     live = BatchPredictor(cfg, model, params, batch_size=2)
-    aot = BatchPredictor.from_exported(str(path))
+    aot = BatchPredictor.from_exported(path)  # os.PathLike accepted
     assert aot.batch_size == 2 and aot.inp == 96
 
     rng = np.random.RandomState(7)
