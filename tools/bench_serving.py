@@ -51,9 +51,22 @@ def main():
     ap.add_argument("--requests", type=int, default=30,
                     help="timed single-image requests")
     ap.add_argument("--batch-sizes", default="1,4,8,16")
+    ap.add_argument("--exported", default=None,
+                    help="serialized StableHLO artifact (cli "
+                         "export-stablehlo); serves via "
+                         "BatchPredictor.from_exported at the artifact's "
+                         "baked batch size (other flags that shape the "
+                         "model are ignored — they are baked in)")
     args = ap.parse_args()
 
     import jax
+
+    # same escape hatch as cli.main: MPN_PLATFORM=cpu pins the backend
+    # (JAX_PLATFORMS env can be overridden by sitecustomize config; this
+    # cannot).  Must run before first device use.
+    plat = os.environ.get("MPN_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     from multiposenet_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
@@ -63,6 +76,14 @@ def main():
     from multiposenet_tpu.engine import checkpoint as ckpt_lib
     from multiposenet_tpu.engine.predictor import BatchPredictor
     from multiposenet_tpu.models.posenet import PoseNet
+
+    if args.exported:
+        # AOT artifact: batch size and input resolution are baked in, so
+        # bench that one configuration
+        pred = BatchPredictor.from_exported(args.exported)
+        _run_bench(args, lambda bs: pred, [pred.batch_size], pred.inp,
+                   label=f"exported artifact {args.exported}")
+        return
 
     cfg = Config()
     if args.bf16:
@@ -92,6 +113,15 @@ def main():
         model = PoseNet(cfg.model)
         variables = fold_bn_variables(variables)
 
+    label = (f"{'bf16' if args.bf16 else 'f32'}, "
+             f"{'trained' if args.ckpt else 'random'} weights")
+    _run_bench(args,
+               lambda bs: BatchPredictor(cfg, model, variables,
+                                         batch_size=bs),
+               [int(b) for b in args.batch_sizes.split(",")], size, label)
+
+
+def _run_bench(args, make_pred, batch_sizes, size, label):
     # COCO-typical landscape inputs; sizes vary a little so the host pack
     # path (pad-to-square + resize) does real work every request
     rng = np.random.RandomState(0)
@@ -101,8 +131,8 @@ def main():
     ]
 
     rows = []
-    for bs in [int(b) for b in args.batch_sizes.split(",")]:
-        pred = BatchPredictor(cfg, model, variables, batch_size=bs)
+    for bs in batch_sizes:
+        pred = make_pred(bs)
         # warmup: compile + first-dispatch costs out of the timed window
         pred.predict(imgs[:bs])
         pred.predict(imgs[bs:2 * bs])
@@ -128,9 +158,7 @@ def main():
             rows.append((bs, pctl(lat, 50), pctl(lat, 95),
                          bs * 1e3 / np.mean(lat)))
 
-    print(f"# serving latency, {'bf16' if args.bf16 else 'f32'}, "
-          f"{'trained' if args.ckpt else 'random'} weights, "
-          f"~640x480 inputs -> {size}x{size}")
+    print(f"# serving latency, {label}, ~640x480 inputs -> {size}x{size}")
     print("# batch  p50_ms  p95_ms  img/s")
     for bs, p50, p95, ips in rows:
         print(f"  {bs:5d}  {p50:6.1f}  {p95:6.1f}  {ips:6.1f}")
