@@ -26,16 +26,25 @@ pytest.importorskip("torch")
 pytest.importorskip("h5py")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GATE_MODELS = os.environ.get("MPN_GATE_MODELS", "/tmp/mpn_gate_models")
+# any gate run's model dir qualifies (the gate writes /tmp/mpn_gate_models
+# by default but suffixed dirs like _r5 are common for kept runs); the
+# newest dir that actually holds a prn best-checkpoint wins
+GATE_MODELS = os.environ.get("MPN_GATE_MODELS")
 GATE_COCO = os.environ.get("MPN_GATE_COCO", "/tmp/mpn_gate_coco")
 
 
 def _best_prn_ckpt():
-    # numeric epoch sort (the gate's own best() uses `sort -t_ -k2 -n`):
-    # lexicographic glob order puts ckpt_11 before ckpt_9
-    cands = glob.glob(os.path.join(GATE_MODELS, "prn", "*.best"))
-    cands.sort(key=lambda p: int(os.path.basename(p).split("_")[1]))
-    return cands[-1] if cands else None
+    roots = ([GATE_MODELS] if GATE_MODELS
+             else sorted(glob.glob("/tmp/mpn_gate_models*"),
+                         key=os.path.getmtime, reverse=True))
+    for root in roots:
+        # numeric epoch sort (the gate's own best() uses `sort -t_ -k2 -n`):
+        # lexicographic glob order puts ckpt_11 before ckpt_9
+        cands = glob.glob(os.path.join(root, "prn", "*.best"))
+        cands.sort(key=lambda p: int(os.path.basename(p).split("_")[1]))
+        if cands:
+            return cands[-1]
+    return None
 
 
 @pytest.mark.slow
@@ -43,7 +52,8 @@ def test_trained_weights_differential_cheap():
     ckpt = _best_prn_ckpt()
     if ckpt is None or not os.path.isdir(os.path.join(GATE_COCO, "val2017")):
         pytest.skip("no synth-gate trained checkpoint on this machine "
-                    f"(looked in {GATE_MODELS}); run tools/synth_e2e_gate.sh")
+                    f"(looked in {GATE_MODELS or '/tmp/mpn_gate_models*'}); "
+                    "run tools/synth_e2e_gate.sh")
     sys.path.insert(0, os.path.join(REPO, "tools"))
     try:
         import trained_weights_differential as twd
